@@ -1,0 +1,22 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so that every sharding /
+collective path is exercised without TPU hardware, mirroring how the
+driver dry-runs the multi-chip path.  Environment must be set before the
+first `import jax` anywhere in the test process.
+"""
+
+import os
+import sys
+
+# Force CPU even if the ambient environment points JAX at a TPU platform
+# (set STRAINER2_TEST_TPU=1 to run the suite against real hardware).
+if not os.environ.get("STRAINER2_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
