@@ -1,0 +1,129 @@
+"""Strain k-mer index: canonical-code set + cuckoo table + encounter order.
+
+Replaces the reference's in-process BIO_hash of k-mer strings (reference
+src/genome_compare.c:967-1030 builds it; every other stage queries it) with:
+
+- ``codes``: the distinct canonical k-mers of the strain genome as packed
+  uint64, in FIRST-ENCOUNTER order — the reference's hash insertion order,
+  which (together with the djb2 replay in strainer2_tpu.index.refhash_order)
+  lets outputs reproduce the reference row order bit-for-bit (SURVEY.md §2.5).
+- ``genome_counts``: occurrences of each k-mer in the genome scan (column 0
+  of the kmer_scrub_count table).
+- ``table``: the device-side cuckoo membership table; ``slot_of_key`` links
+  each code to its table row so slot-indexed device count/meta arrays can be
+  gathered back into key order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import numpy as np
+
+from strainer2_tpu.constants import DEFAULT_K
+from strainer2_tpu.index.cuckoo import CuckooTable, build_cuckoo
+from strainer2_tpu.io.batches import DEFAULT_ROW_LEN, DEFAULT_ROWS, pack_stream
+from strainer2_tpu.io.fastx import read_fastx
+from strainer2_tpu.ops.packing import split_code64_np
+
+__all__ = ["StrainIndex", "scan_file_codes"]
+
+
+def scan_file_codes(
+    path: str,
+    engine,
+    rows: int = DEFAULT_ROWS,
+    row_len: int = DEFAULT_ROW_LEN,
+) -> np.ndarray:
+    """All valid canonical codes of a FASTA/FASTQ file in genome-scan order."""
+    chunks = []
+    seqs = (rec.seq for rec in read_fastx(path))
+    for batch in pack_stream(seqs, engine.k, rows=rows, row_len=row_len):
+        chunks.append(engine.extract_codes(batch.bases))
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(chunks)
+
+
+@dataclass
+class StrainIndex:
+    k: int
+    codes: np.ndarray  # (N,) uint64, first-encounter order
+    genome_counts: np.ndarray  # (N,) uint32
+    table: CuckooTable
+
+    _device_table: object = field(default=None, repr=False)
+
+    @classmethod
+    def from_scan_codes(cls, scan_codes: np.ndarray, k: int = DEFAULT_K) -> "StrainIndex":
+        """Build from the full (with duplicates) genome-scan code stream."""
+        if scan_codes.size == 0:
+            raise ValueError("no valid k-mers found in genome")
+        uniq, first_idx, counts = np.unique(
+            scan_codes, return_index=True, return_counts=True
+        )
+        order = np.argsort(first_idx, kind="stable")
+        codes = uniq[order]
+        genome_counts = counts[order].astype(np.uint32)
+        table = build_cuckoo(codes, k)
+        return cls(k=k, codes=codes, genome_counts=genome_counts, table=table)
+
+    @classmethod
+    def from_fasta(cls, path: str, engine, rows: int = DEFAULT_ROWS,
+                   row_len: int = DEFAULT_ROW_LEN) -> "StrainIndex":
+        return cls.from_scan_codes(
+            scan_file_codes(path, engine, rows, row_len), k=engine.k
+        )
+
+    # ---- derived views ----
+    @property
+    def num_kmers(self) -> int:
+        return self.codes.shape[0]
+
+    def device_table(self):
+        """Cuckoo table as a device array (uploaded once, cached)."""
+        if self._device_table is None:
+            import jax.numpy as jnp
+
+            self._device_table = jnp.asarray(self.table.table)
+        return self._device_table
+
+    def key_planes(self) -> tuple[np.ndarray, np.ndarray]:
+        return split_code64_np(self.codes, self.k)
+
+    def slot_values(self, per_key: np.ndarray, fill=0) -> np.ndarray:
+        """Scatter a per-key array into a (num_slots,) slot-indexed array."""
+        out = np.full(self.table.num_slots, fill, dtype=np.asarray(per_key).dtype)
+        out[self.table.slot_of_key] = per_key
+        return out
+
+    def key_values(self, per_slot: np.ndarray) -> np.ndarray:
+        """Gather a slot-indexed (device result) array back to key order."""
+        return np.asarray(per_slot)[self.table.slot_of_key]
+
+    # ---- persistence (checkpoint / resume at stage granularity) ----
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            k=self.k,
+            codes=self.codes,
+            genome_counts=self.genome_counts,
+            table=self.table.table,
+            slot_of_key=self.table.slot_of_key,
+            h_bits=self.table.h_bits,
+            salt=self.table.salt,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "StrainIndex":
+        z = np.load(path)
+        table = CuckooTable(
+            z["table"], z["slot_of_key"], int(z["h_bits"]), int(z["salt"])
+        )
+        return cls(
+            k=int(z["k"]),
+            codes=z["codes"],
+            genome_counts=z["genome_counts"],
+            table=table,
+        )

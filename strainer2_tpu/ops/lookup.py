@@ -1,0 +1,95 @@
+"""Device membership-lookup kernels — THE hot op of the whole engine.
+
+The reference spends essentially all of its CPU time probing a string hash
+once per window (reference src/strain_detect.c:386,478 and
+src/genome_compare.c:220).  On TPU, membership of a batch of packed
+canonical k-mers is resolved with:
+
+- ``cuckoo_lookup``: exactly two vectorized gathers from the HBM-resident
+  cuckoo table (see strainer2_tpu.index.cuckoo) + plane compares.  This is
+  the speed-of-light path: ~16 bytes of random HBM traffic per query.
+- ``sorted_lookup``: branchless binary search over the sorted key planes
+  (ceil(log2 N) gathers); used as a portable fallback and as an
+  independent oracle for the cuckoo path in tests.
+
+Both return a *slot id* usable for deterministic count accumulation via
+integer scatter-add (order-independent, so bit-identical counts regardless
+of batch/device partitioning — the property that makes psum count merging
+exact; SURVEY.md §2.5, §7.3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from strainer2_tpu.index.hashing import cuckoo_slots
+
+__all__ = ["cuckoo_lookup", "sorted_lookup", "accumulate_counts"]
+
+
+def cuckoo_lookup(
+    table: jax.Array,  # (2*H, 2) uint32
+    h_bits: int,
+    salt: int,
+    qhi: jax.Array,
+    qlo: jax.Array,
+):
+    """Membership of packed queries in the cuckoo table.
+
+    Returns (found: bool (...,), slot: int32 (...,)).  ``slot`` is the row
+    of the matching key (arbitrary where not found; pair with ``found``
+    when scattering).
+    """
+    h = table.shape[0] // 2
+    shi = qhi ^ jnp.uint32(salt) if salt else qhi
+    s0 = cuckoo_slots(shi, qlo, h_bits, 0).astype(jnp.int32)
+    s1 = cuckoo_slots(shi, qlo, h_bits, 1).astype(jnp.int32) + jnp.int32(h)
+
+    r0 = table[s0]
+    r1 = table[s1]
+    hit0 = (r0[..., 0] == qhi) & (r0[..., 1] == qlo)
+    hit1 = (r1[..., 0] == qhi) & (r1[..., 1] == qlo)
+    found = hit0 | hit1
+    slot = jnp.where(hit0, s0, s1)
+    return found, slot
+
+
+def sorted_lookup(
+    keys: jax.Array,  # (N, 2) uint32, sorted by (hi, lo)
+    qhi: jax.Array,
+    qlo: jax.Array,
+):
+    """Branchless binary search; returns (found, position-in-sorted-order)."""
+    n = keys.shape[0]
+    steps = max(1, int(np.ceil(np.log2(n + 1))))
+    lo_idx = jnp.zeros(qhi.shape, dtype=jnp.int32)
+    hi_idx = jnp.full(qhi.shape, n, dtype=jnp.int32)
+
+    def body(_, carry):
+        lo_i, hi_i = carry
+        mid = (lo_i + hi_i) >> 1
+        row = keys[jnp.clip(mid, 0, n - 1)]
+        less = (row[..., 0] < qhi) | ((row[..., 0] == qhi) & (row[..., 1] < qlo))
+        lo_i = jnp.where(less, mid + 1, lo_i)
+        hi_i = jnp.where(less, hi_i, mid)
+        return lo_i, hi_i
+
+    lo_idx, hi_idx = jax.lax.fori_loop(0, steps, body, (lo_idx, hi_idx))
+    pos = jnp.clip(lo_idx, 0, n - 1)
+    row = keys[pos]
+    found = (lo_idx < n) & (row[..., 0] == qhi) & (row[..., 1] == qlo)
+    return found, lo_idx.astype(jnp.int32)
+
+
+def accumulate_counts(
+    counts: jax.Array,  # (num_slots,) uint32 (or int32)
+    slot: jax.Array,
+    hit: jax.Array,  # bool — found & window-valid (& any extra mask)
+) -> jax.Array:
+    """counts[slot] += hit, deterministically (integer scatter-add)."""
+    safe_slot = jnp.where(hit, slot, 0)
+    return counts.at[safe_slot.reshape(-1)].add(
+        hit.reshape(-1).astype(counts.dtype), mode="drop"
+    )

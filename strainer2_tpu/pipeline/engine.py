@@ -1,0 +1,96 @@
+"""Jitted device programs shared by all pipeline stages.
+
+One KmerEngine instance = one batch geometry (rows x row_len) and one k.
+Every program is compiled once and reused for the whole run — batch shapes
+are fixed by the dense packer (strainer2_tpu.io.batches), so there is no
+shape-driven recompilation regardless of read-length distribution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from strainer2_tpu.io.batches import PackedBatch
+from strainer2_tpu.ops.lookup import cuckoo_lookup
+from strainer2_tpu.ops.packing import canonical_windows, merge_code64_np
+
+__all__ = ["KmerEngine"]
+
+
+class KmerEngine:
+    def __init__(self, k: int, max_reads: int | None = None):
+        self.k = k
+        self.max_reads = max_reads
+        self._extract = jax.jit(partial(_extract, k=k))
+        self._count = jax.jit(
+            partial(_count_step, k=k),
+            static_argnames=("h_bits", "salt"),
+            donate_argnums=(0,),
+        )
+        self._classify = jax.jit(
+            partial(_classify_step, k=k, max_reads=max_reads),
+            static_argnames=("h_bits", "salt"),
+        )
+
+    # ---- index construction path ----
+    def extract_codes(self, bases: np.ndarray) -> np.ndarray:
+        """All valid canonical codes of a packed buffer, in scan order."""
+        hi, lo, valid = (np.asarray(x) for x in self._extract(bases))
+        mask = valid.reshape(-1)
+        return merge_code64_np(
+            hi.reshape(-1)[mask].astype(np.uint64),
+            lo.reshape(-1)[mask].astype(np.uint64),
+            self.k,
+        )
+
+    # ---- panel counting path (kmer_scrub_count hot loop) ----
+    def count_batch(self, counts, table, h_bits: int, salt: int, bases) -> jax.Array:
+        """counts[slot] += 1 per hit window; returns updated device counts."""
+        return self._count(counts, table, bases, h_bits=h_bits, salt=salt)
+
+    # ---- detection path: per-read hit aggregation ----
+    def classify_batch(self, table, meta, h_bits: int, salt: int, bases, read_id):
+        """Per-read (total_hits, informative_hits) segment sums.
+
+        meta: (2H,) uint32 slot-indexed k-mer class
+              (NON_INFORMATIVE_KMER / INFORMATIVE_KMER, 0 for empty slots).
+        Returns device arrays (max_reads + 1,): last bucket collects
+        invalid windows and is discarded by the caller; entries past the
+        batch's n_reads are zero.
+        """
+        return self._classify(table, meta, bases, read_id, h_bits=h_bits, salt=salt)
+
+
+def _extract(bases, *, k):
+    win = canonical_windows(jnp.asarray(bases), k)
+    return win.hi, win.lo, win.valid
+
+
+def _count_step(counts, table, bases, *, k, h_bits, salt):
+    win = canonical_windows(jnp.asarray(bases), k)
+    found, slot = cuckoo_lookup(table, h_bits, salt, win.hi, win.lo)
+    hit = found & win.valid
+    safe_slot = jnp.where(hit, slot, 0)
+    return counts.at[safe_slot.reshape(-1)].add(hit.reshape(-1).astype(counts.dtype))
+
+
+def _classify_step(table, meta, bases, read_id, *, k, h_bits, salt, max_reads):
+    win = canonical_windows(jnp.asarray(bases), k)
+    found, slot = cuckoo_lookup(table, h_bits, salt, win.hi, win.lo)
+    hit = found & win.valid
+    kmer_class = jnp.where(hit, meta[jnp.where(hit, slot, 0)], 0)
+
+    # window -> owning read: the read id at the window's start position
+    win_read = read_id[..., : win.hi.shape[-1]]
+    seg = jnp.where(hit, win_read, max_reads).reshape(-1)
+    total = jax.ops.segment_sum(
+        hit.reshape(-1).astype(jnp.int32), seg, num_segments=max_reads + 1
+    )
+    informative = jax.ops.segment_sum(
+        (kmer_class == 2).reshape(-1).astype(jnp.int32), seg, num_segments=max_reads + 1
+    )
+    return total, informative
