@@ -226,3 +226,23 @@ def decode_codes_np(codes: np.ndarray, k: int) -> list[str]:
     base_idx = ((codes[:, None] >> shifts[None, :]) & np.uint64(3)).astype(np.uint8)
     chars = np.frombuffer(b"ACGT", dtype=np.uint8)[base_idx]
     return [bytes(row).decode("ascii") for row in chars]
+
+
+def canonical_codes_np(base_codes: np.ndarray, k: int):
+    """Host (NumPy) twin of :func:`canonical_windows` for one sequence.
+
+    Used off the hot path (e.g. re-scanning the rare reads that pass
+    detection thresholds to emit their informative windows).  Returns
+    (codes uint64, valid bool) over the L-k+1 windows; empty for L < k.
+    """
+    b = np.asarray(base_codes, dtype=np.uint8)
+    length = b.shape[0]
+    if length < k:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=bool)
+    win = np.lib.stride_tricks.sliding_window_view(b, k)
+    valid = (win < INVALID_BASE).all(axis=1)
+    weights = np.uint64(4) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    two_bit = (win & np.uint8(3)).astype(np.uint64)
+    fwd = (two_bit * weights).sum(axis=1, dtype=np.uint64)
+    rc = ((np.uint64(3) - two_bit)[:, ::-1] * weights).sum(axis=1, dtype=np.uint64)
+    return np.where(fwd >= rc, fwd, rc), valid

@@ -1,0 +1,374 @@
+"""strain_detect stage: score target metagenomes against informative k-mers.
+
+Pipeline equivalent of the reference binary (reference src/strain_detect.c):
+
+1. index every canonical k-mer of the strain genome (type NON_INFORMATIVE),
+2. mark the scrubbed (informative) set from the -a file (re-orienting each
+   line; reference src/strain_detect.c:668-726),
+3. optional background filter: count informative k-mers across background
+   metagenomes and demote the most frequent ~half (reference 160-240),
+4. for each target sample (SE / PE / PEI), count per-read total and
+   informative k-mer hits; read-pairs with >=1 total and >=1 informative
+   hit emit one row per informative-k-mer occurrence, then per-file summary
+   comment lines (reference 387-663).
+
+TPU mapping: the per-read counting loop — all the CPU time in the
+reference ("this is where we spend most of the CPU time", reference
+src/strain_detect.c:386) — is a single jitted program per packed batch:
+canonicalize -> cuckoo lookup -> gather k-mer class -> two segment-sums
+keyed by the batch's read-id plane.  Only reads that pass the thresholds
+(rare) are re-scanned on host to emit their rows.
+
+Deliberate divergence from the reference: reads shorter than k reset the
+pair's hit counters to zero instead of reusing the previous read's
+(uninitialized-state artifact of the C loop, SURVEY.md §2.2/§7); outputs
+on well-formed data are bit-identical.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import IO, Iterator
+
+import numpy as np
+
+from strainer2_tpu.constants import (
+    BACKGROUND_FRACTION_TO_REMOVE,
+    DEFAULT_K,
+    INFORMATIVE_KMER,
+    IS_PAIRED_END,
+    IS_PAIRED_END_INTERLEAVE,
+    NON_INFORMATIVE_KMER,
+    NOT_PAIRED_END,
+)
+from strainer2_tpu.index.build import StrainIndex
+from strainer2_tpu.io.batches import max_reads_capacity, pack_stream
+from strainer2_tpu.io.fastx import open_maybe_gzip, read_fastx
+from strainer2_tpu.ops.packing import (
+    canonical_codes_np,
+    decode_codes_np,
+    encode_ascii_np,
+)
+from strainer2_tpu.pipeline.engine import KmerEngine
+from strainer2_tpu.pipeline.scrub_count import count_panel_file, read_list_file
+
+__all__ = ["DetectConfig", "StrainDetector", "run_detect", "get_file_type"]
+
+
+@dataclass
+class DetectConfig:
+    k: int = DEFAULT_K
+    rows: int = 256
+    row_len: int = 4096
+    min_hits_for_good_match: int = 1  # reference src/strain_detect.c:406
+    min_hits_for_informative_read: int = 1  # reference src/strain_detect.c:403
+    fraction_background_to_remove: float = BACKGROUND_FRACTION_TO_REMOVE
+
+
+def get_file_type(token: str) -> int:
+    """Batch-file sample type tokens (reference src/strain_detect.c:728-747)."""
+    t = token
+    if t in ("SE", "se"):
+        return NOT_PAIRED_END
+    if t in ("PE", "pe"):
+        return IS_PAIRED_END
+    if t in ("PEI", "pei", "IPE", "ipe"):
+        return IS_PAIRED_END_INTERLEAVE
+    return -1
+
+
+class StrainDetector:
+    """Holds the indexed strain state shared across target samples."""
+
+    def __init__(self, r_file: str, a_file: str, cfg: DetectConfig | None = None,
+                 stdout: IO | None = None):
+        self.cfg = cfg or DetectConfig()
+        self.stdout = stdout if stdout is not None else sys.stdout
+        self.engine = KmerEngine(
+            self.cfg.k, max_reads_capacity(self.cfg.k, self.cfg.rows, self.cfg.row_len)
+        )
+        self.index = StrainIndex.from_fasta(
+            r_file, self.engine, self.cfg.rows, self.cfg.row_len
+        )
+        # per-key k-mer class; genome k-mers start NON_INFORMATIVE
+        self.kmer_type = np.full(self.index.num_kmers, NON_INFORMATIVE_KMER, np.uint32)
+        self._sorted_order = np.argsort(self.index.codes, kind="stable")
+        self._sorted_codes = self.index.codes[self._sorted_order]
+        self.num_informative_marked = self._mark_scrubbed(a_file)
+        self._meta_dev = None
+
+    # ---- stage 2: mark informative k-mers ----
+    def _key_pos(self, codes: np.ndarray) -> np.ndarray:
+        """Map codes to key indices (first-encounter order), -1 if absent."""
+        pos = np.searchsorted(self._sorted_codes, codes)
+        pos = np.clip(pos, 0, self._sorted_codes.size - 1)
+        ok = self._sorted_codes[pos] == codes
+        out = np.where(ok, self._sorted_order[pos], -1)
+        return out.astype(np.int64)
+
+    def _mark_scrubbed(self, a_file: str) -> int:
+        k = self.cfg.k
+        n_marked = 0
+        with open_maybe_gzip(a_file) as f:
+            for raw in f:
+                if raw.startswith(b"#"):
+                    continue
+                line = raw.rstrip(b"\n")
+                if len(line) != k:
+                    self.stdout.write(
+                        "error string length in the scrubbed kmer file (%s) must be the "
+                        "same size as the kmer length (scrubbed kmer, scrubbed kmer len, "
+                        "seed len): %s, %d, %d\n"
+                        % (a_file, line.decode("ascii", "replace"), len(line), k)
+                    )
+                    continue
+                codes = encode_ascii_np(np.frombuffer(line, dtype=np.uint8))
+                ccodes, valid = canonical_codes_np(codes, k)
+                idx = self._key_pos(ccodes[:1])[0] if valid[0] else -1
+                if idx >= 0:
+                    self.kmer_type[idx] = INFORMATIVE_KMER
+                    n_marked += 1
+                else:
+                    self.stdout.write(
+                        "error could not find informative kmer %s in the total kmer list\n"
+                        % line.decode("ascii", "replace")
+                    )
+        return n_marked
+
+    # ---- stage 3: background filter ----
+    def background_filter(self, background_list: str) -> None:
+        """Demote informative k-mers frequent in background metagenomes
+        (reference src/strain_detect.c:160-240; stats lines go to stdout)."""
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        num_inform = self.num_informative_marked
+        kmer_to_keep = int(num_inform * cfg.fraction_background_to_remove)
+        self.stdout.write(
+            "#removing %f proportion of %s kmers; informative %d keep at least %d\n"
+            % (cfg.fraction_background_to_remove, background_list, num_inform, kmer_to_keep)
+        )
+
+        counts = jnp.zeros(self.index.table.num_slots, dtype=jnp.uint32)
+        for path in read_list_file(background_list):
+            counts = count_panel_file(
+                self.engine, self.index, counts, path, cfg.rows, cfg.row_len
+            )
+        bg_counts = self.index.key_values(np.asarray(counts)).astype(np.int64)
+
+        informative = self.kmer_type == INFORMATIVE_KMER
+        inf_bg = bg_counts[informative]
+        if inf_bg.size > num_inform:
+            print("Error: too many background kmers", file=sys.stderr)
+            raise SystemExit(1)
+
+        # threshold search: start at 1 (the detection minimum); raise to the
+        # count at the keep boundary, then keep raising while too many
+        # k-mers would be removed (reference 195-214)
+        desc = np.sort(inf_bg)[::-1]
+        max_kmer_to_keep = 1
+        if kmer_to_keep >= 1 and desc.size >= kmer_to_keep and desc[kmer_to_keep - 1] > max_kmer_to_keep:
+            max_kmer_to_keep = int(desc[kmer_to_keep - 1])
+        while int(np.count_nonzero(inf_bg >= max_kmer_to_keep)) > kmer_to_keep:
+            max_kmer_to_keep += 1
+
+        demote = informative & (bg_counts >= max_kmer_to_keep)
+        self.kmer_type[demote] = NON_INFORMATIVE_KMER
+        self.stdout.write(
+            "#final_threshold %d removes %d background kmers %d removed\n"
+            % (
+                max_kmer_to_keep,
+                int(np.count_nonzero(inf_bg >= max_kmer_to_keep)),
+                int(np.count_nonzero(demote)),
+            )
+        )
+
+    # ---- stage 4: quantify ----
+    def _finalize_meta(self):
+        self._type_sorted = self.kmer_type[self._sorted_order]
+        import jax.numpy as jnp
+
+        self._meta_dev = jnp.asarray(self.index.slot_values(self.kmer_type))
+        self.total_genome_kmers = self.index.num_kmers
+        self.total_genome_informative = int(
+            np.count_nonzero(self.kmer_type == INFORMATIVE_KMER)
+        )
+
+    def quantify_all(
+        self,
+        out_path: str,
+        batch_list: str | None = None,
+        b_file: str | None = None,
+        b_file2: str | None = None,
+        file_type: int = NOT_PAIRED_END,
+    ) -> None:
+        """Process all target samples and write the gzip hits file."""
+        import gzip
+
+        self._finalize_meta()
+        with gzip.open(out_path, "wt", compresslevel=9) as out:
+            if batch_list is not None:
+                with open(batch_list) as f:
+                    for raw in f:
+                        line = raw.rstrip("\n")
+                        fields = [t for t in line.split("\t") if t != ""]
+                        token = fields[0] if fields else line
+                        ftype = get_file_type(token)
+                        if ftype < 0:
+                            self.stdout.write(
+                                "unknown file type skipping line (%s)\n" % token
+                            )
+                            continue
+                        if len(fields) < 2:
+                            self.stdout.write(
+                                "ERROR: no first file specified for %s\n" % token
+                            )
+                            continue
+                        if ftype == IS_PAIRED_END and len(fields) < 3:
+                            self.stdout.write(
+                                "ERROR: no second file specified for PE: %s\n" % token
+                            )
+                            continue
+                        f2 = fields[2] if ftype == IS_PAIRED_END else None
+                        self._quantify_sample(fields[1], f2, ftype, out)
+            else:
+                self._quantify_sample(b_file, b_file2, file_type, out)
+
+    # ---- per-sample hot loop ----
+    def _read_stream(self, f1: str, f2: str | None, ftype: int) -> Iterator[bytes]:
+        if ftype == IS_PAIRED_END:
+            it1, it2 = read_fastx(f1), read_fastx(f2)
+            for rec1 in it1:
+                try:
+                    rec2 = next(it2)
+                except StopIteration:
+                    print(
+                        f"reached end of PE2 ({f2}) before end of PE1 ({f1}), "
+                        "check that file names are correct",
+                        file=sys.stderr,
+                    )
+                    raise SystemExit(1)
+                yield rec1.seq
+                yield rec2.seq
+        else:
+            for rec in read_fastx(f1):
+                yield rec.seq
+
+    def _quantify_sample(self, f1: str, f2: str | None, ftype: int, out: IO) -> None:
+        cfg = self.cfg
+        k = cfg.k
+        paired = ftype != NOT_PAIRED_END
+        group = 2 if paired else 1
+        t = self.index.table
+        table_dev = self.index.device_table()
+
+        total_kmers_evaluated = 0
+        total_reads_evaluated = 0
+
+        raw_reads: list[np.ndarray] = []
+
+        def encoding_stream():
+            for seq in self._read_stream(f1, f2, ftype):
+                codes = encode_ascii_np(np.frombuffer(seq, dtype=np.uint8))
+                raw_reads.append(codes)
+                yield codes
+
+        odd_interleave = False
+        for batch in pack_stream(
+            encoding_stream(),
+            k,
+            rows=cfg.rows,
+            row_len=cfg.row_len,
+            with_read_ids=True,
+            group_size=group,
+        ):
+            n = batch.n_reads
+            tot_d, inf_d = self.engine.classify_batch(
+                table_dev, self._meta_dev, t.h_bits, t.salt, batch.bases, batch.read_id
+            )
+            tot = np.asarray(tot_d)[:n]
+            inf = np.asarray(inf_d)[:n]
+            lens = batch.read_lengths
+            wins = np.maximum(lens - k + 1, 0) * (lens >= k)
+            total_kmers_evaluated += int(wins.sum())
+            if paired:
+                if n % 2 and ftype == IS_PAIRED_END_INTERLEAVE:
+                    odd_interleave = True
+                pe1 = np.arange(0, n - (n % 2), 2)
+                total_reads_evaluated += int(np.count_nonzero(lens[pe1] >= k))
+                t1, i1 = tot[pe1], inf[pe1]
+                t2, i2 = tot[pe1 + 1], inf[pe1 + 1]
+            else:
+                total_reads_evaluated += int(np.count_nonzero(lens >= k))
+                pe1 = np.arange(n)
+                t1, i1 = tot, inf
+                t2 = np.zeros_like(t1)
+                i2 = np.zeros_like(i1)
+
+            passing = ((t1 + t2) >= cfg.min_hits_for_good_match) & (
+                (i1 + i2) >= cfg.min_hits_for_informative_read
+            )
+            for j in np.flatnonzero(passing):
+                r1 = pe1[j]
+                prefix = f"{f1}\t{t1[j]}\t{i1[j]}\t{t2[j]}\t{i2[j]}\t"
+                self._emit_rows(out, prefix, raw_reads[r1])
+                if paired:
+                    self._emit_rows(out, prefix, raw_reads[r1 + 1])
+            del raw_reads[:n]  # keep any lookahead reads queued for the next batch
+
+        if odd_interleave:
+            print(
+                f"reached end of PE2 ({f1}) before end of PE1 ({f1}), "
+                "check that file names are correct",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+
+        # per-file summary comment lines (reference src/strain_detect.c:633-636)
+        out.write("#%s\ttotal_kmer_evaluated\t%d\n" % (f1, total_kmers_evaluated))
+        out.write("#%s\ttotal_reads_evaluated\t%d\n" % (f1, total_reads_evaluated))
+        out.write("#%s\ttotal_genome_kmers\t%d\n" % (f1, self.total_genome_kmers))
+        out.write(
+            "#%s\ttotal_genome_informative_kmers\t%d\n" % (f1, self.total_genome_informative)
+        )
+
+    def _emit_rows(self, out: IO, prefix: str, codes: np.ndarray) -> None:
+        """Re-scan one passing read; one row per informative-window
+        occurrence, in window order (reference src/strain_detect.c:554-623)."""
+        ccodes, valid = canonical_codes_np(codes, self.cfg.k)
+        if ccodes.size == 0:
+            return
+        idx = self._key_pos(ccodes)
+        informative = valid & (idx >= 0)
+        if informative.any():
+            informative &= np.where(idx >= 0, self.kmer_type[np.maximum(idx, 0)], 0) == INFORMATIVE_KMER
+        hits = np.flatnonzero(informative)
+        if hits.size:
+            for s in decode_codes_np(ccodes[hits], self.cfg.k):
+                out.write(prefix + s + "\n")
+
+
+def run_detect(
+    r_file: str,
+    a_file: str,
+    out_path: str,
+    batch_list: str | None = None,
+    b_file: str | None = None,
+    b_file2: str | None = None,
+    file_type: int = NOT_PAIRED_END,
+    background_list: str | None = None,
+    cfg: DetectConfig | None = None,
+    stdout: IO | None = None,
+) -> StrainDetector:
+    det = StrainDetector(r_file, a_file, cfg, stdout=stdout)
+    if background_list:
+        det.background_filter(background_list)
+    det.quantify_all(
+        out_path,
+        batch_list=batch_list,
+        b_file=b_file,
+        b_file2=b_file2,
+        file_type=file_type,
+    )
+    return det

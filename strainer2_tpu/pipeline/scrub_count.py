@@ -1,0 +1,192 @@
+"""kmer_scrub_count stage: count strain k-mers across background panels.
+
+Pipeline equivalent of the reference binary (reference
+src/kmer_scrub_count.c:29-124):
+
+1. build the strain index from -r (all canonical k-mers + genome counts),
+2. stream every file of the -A genome panel, the -B metagenome panel, and
+   optionally the -C co-occurring-strain panel (skipping the reference
+   genome itself), counting occurrences of *indexed* k-mers only
+   (lookup-only, no inserts — reference src/genome_compare.c:179-236),
+3. emit the 4-column count table in the reference's row order.
+
+The hot loop is one jitted device program per batch: canonicalize ->
+cuckoo lookup -> deterministic scatter-add into a slot-indexed count
+buffer resident in HBM.  Counts are integers, so accumulation order —
+across batches, files, or device shards — cannot change the result.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import IO, Iterable
+
+import numpy as np
+
+from strainer2_tpu.constants import (
+    COL_DRUG,
+    COL_METAGENOME,
+    COL_PANGENOME,
+    DEFAULT_K,
+)
+from strainer2_tpu.index.build import StrainIndex
+from strainer2_tpu.index.refhash_order import reference_row_order
+from strainer2_tpu.io.batches import DEFAULT_ROW_LEN, DEFAULT_ROWS, pack_stream
+from strainer2_tpu.io.fastx import read_fastx
+from strainer2_tpu.pipeline.engine import KmerEngine
+
+__all__ = ["ScrubCountConfig", "run_scrub_count", "count_panel_file", "read_list_file"]
+
+
+@dataclass
+class ScrubCountConfig:
+    k: int = DEFAULT_K
+    rows: int = DEFAULT_ROWS
+    row_len: int = DEFAULT_ROW_LEN
+    # replicate the reference's printed row order (djb2 replay). When False,
+    # rows are emitted in first-encounter order (a canonical order of ours;
+    # count values identical, order not).
+    reference_order: bool = True
+
+
+def read_list_file(path: str) -> list[str]:
+    """File-of-filenames, one path per line (reference getline loops)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            out.append(line.rstrip("\n"))
+    return out
+
+
+def _progress_line(progress: IO | None, path: str) -> None:
+    """Reference format: `<path>\\t<asctime>` incl. trailing newline
+    (reference src/genome_compare.c:133-136)."""
+    if progress is not None:
+        progress.write(f"{path}\t{time.asctime(time.localtime())}\n")
+        progress.flush()
+
+
+def count_panel_file(
+    engine: KmerEngine,
+    index: StrainIndex,
+    counts,  # device (num_slots,) uint32
+    path: str,
+    rows: int,
+    row_len: int,
+):
+    """Stream one panel file through the counting kernel."""
+    table = index.device_table()
+    t = index.table
+    seqs = (rec.seq for rec in read_fastx(path))
+    for batch in pack_stream(seqs, engine.k, rows=rows, row_len=row_len):
+        counts = engine.count_batch(counts, table, t.h_bits, t.salt, batch.bases)
+    return counts
+
+
+def _count_panel(
+    engine: KmerEngine,
+    index: StrainIndex,
+    list_path: str | None,
+    cfg: ScrubCountConfig,
+    progress: IO | None,
+    skip_path: str | None = None,
+) -> np.ndarray:
+    """Count all files of one panel list into a fresh column; returns
+    per-key counts (first-encounter order)."""
+    import jax.numpy as jnp
+
+    counts = jnp.zeros(index.table.num_slots, dtype=jnp.uint32)
+    if list_path is not None:
+        for path in read_list_file(list_path):
+            _progress_line(progress, path)
+            if skip_path is not None and path == skip_path:
+                print(f"skipping {path} (identical match)", file=sys.stderr)
+                continue
+            counts = count_panel_file(engine, index, counts, path, cfg.rows, cfg.row_len)
+    return index.key_values(np.asarray(counts))
+
+
+def run_scrub_count(
+    r_file: str,
+    a_list: str,
+    b_list: str,
+    c_list: str | None = None,
+    out: IO = None,
+    progress: IO | None = None,
+    cfg: ScrubCountConfig | None = None,
+    index: StrainIndex | None = None,
+) -> StrainIndex:
+    """Full kmer_scrub_count stage; writes the count table to ``out``.
+
+    Returns the strain index (reusable by later stages / checkpointing).
+    """
+    cfg = cfg or ScrubCountConfig()
+    out = out if out is not None else sys.stdout
+    engine = KmerEngine(cfg.k)
+
+    if index is None:
+        index = StrainIndex.from_fasta(r_file, engine, cfg.rows, cfg.row_len)
+
+    col_pan = _count_panel(engine, index, a_list, cfg, progress)
+    col_meta = _count_panel(engine, index, b_list, cfg, progress)
+    col_drug = (
+        _count_panel(engine, index, c_list, cfg, progress, skip_path=r_file)
+        if c_list
+        else None
+    )
+
+    write_scrub_table(
+        out,
+        index,
+        col_pan,
+        col_meta,
+        col_drug,
+        reference_order=cfg.reference_order,
+    )
+    return index
+
+
+def write_scrub_table(
+    out: IO,
+    index: StrainIndex,
+    col_pan: np.ndarray,
+    col_meta: np.ndarray,
+    col_drug: np.ndarray | None,
+    reference_order: bool = True,
+    chunk: int = 200_000,
+) -> None:
+    """Emit the table (reference src/kmer_scrub_count.c:134-156): header is
+    always 5 columns; rows have 4 columns without -C, 5 with."""
+    from strainer2_tpu.ops.packing import decode_codes_np
+
+    out.write("#kmer\treference_count\tpangenome_count\tmetagenome_count\tdrug_count\n")
+
+    if reference_order:
+        order = reference_row_order(index.codes, index.k)
+    else:
+        order = np.arange(index.num_kmers, dtype=np.int64)
+
+    codes = index.codes[order]
+    c0 = index.genome_counts[order]
+    c1 = col_pan[order]
+    c2 = col_meta[order]
+    c3 = col_drug[order] if col_drug is not None else None
+
+    for start in range(0, codes.shape[0], chunk):
+        end = min(start + chunk, codes.shape[0])
+        kmers = decode_codes_np(codes[start:end], index.k)
+        if c3 is not None:
+            rows = [
+                f"{s}\t{a}\t{b}\t{c}\t{d}\n"
+                for s, a, b, c, d in zip(
+                    kmers, c0[start:end], c1[start:end], c2[start:end], c3[start:end]
+                )
+            ]
+        else:
+            rows = [
+                f"{s}\t{a}\t{b}\t{c}\n"
+                for s, a, b, c in zip(kmers, c0[start:end], c1[start:end], c2[start:end])
+            ]
+        out.write("".join(rows))

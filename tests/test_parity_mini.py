@@ -1,0 +1,132 @@
+"""Byte-exact parity against committed reference goldens (mini fixtures).
+
+The fixtures in tests/golden/mini were produced by tools/make_mini_fixtures.py
+running the *reference* binaries/scripts; these tests assert our pipeline
+reproduces every output byte-for-byte (tables, informative sets, hit rows,
+stdout diagnostics, metrics).
+"""
+
+import gzip
+import io
+import os
+
+import pytest
+
+MINI = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden", "mini")
+
+
+def expected(name: str) -> bytes:
+    with open(os.path.join(MINI, "expected", name), "rb") as f:
+        return f.read()
+
+
+@pytest.fixture(autouse=True)
+def _chdir(monkeypatch):
+    monkeypatch.chdir(MINI)
+
+
+class _Out(io.StringIO):
+    def bytes(self) -> bytes:
+        return self.getvalue().encode()
+
+
+def test_scrub_count_parity():
+    from strainer2_tpu.pipeline.scrub_count import run_scrub_count
+
+    out = _Out()
+    run_scrub_count("data/strainA.fna.gz", "data/genomes.txt", "data/metagenomes.txt", out=out)
+    assert out.bytes() == expected("scrub_counts.tsv")
+
+
+def test_scrub_count_drug_panel_parity(capsys):
+    from strainer2_tpu.pipeline.scrub_count import run_scrub_count
+
+    out = _Out()
+    run_scrub_count(
+        "data/strainA.fna.gz",
+        "data/genomes.txt",
+        "data/metagenomes.txt",
+        c_list="data/drugs.txt",
+        out=out,
+    )
+    assert out.bytes() == expected("scrub_counts_drug.tsv")
+    # the reference genome inside the drug list is skipped with a message
+    assert "skipping data/strainA.fna.gz (identical match)" in capsys.readouterr().err
+
+
+@pytest.mark.parametrize(
+    "src,kwargs,golden",
+    [
+        ("scrub_counts.gz", dict(min_fraction=0.05), "scrubbed_m05.txt"),
+        ("scrub_counts.gz", dict(min_fraction=0.3), "scrubbed_m30.txt"),
+        ("scrub_counts_drug.gz", dict(min_fraction=0.05), "scrubbed_drug_m05.txt"),
+        ("scrub_counts.gz", dict(min_fraction=0.05, independent=True), "scrubbed_indep_m05.txt"),
+    ],
+)
+def test_filter_parity(src, kwargs, golden):
+    from strainer2_tpu.pipeline.filter import parse_scrub_tables, run_filter
+
+    table = parse_scrub_tables([os.path.join("expected", src)])
+    out = _Out()
+    run_filter(table, out=out, err=io.StringIO(), **kwargs)
+    assert out.bytes() == expected(golden)
+
+
+def _detect(tmp_path, golden_hits, golden_stdout, **kwargs):
+    from strainer2_tpu.pipeline.detect import run_detect
+
+    hits = str(tmp_path / "hits.gz")
+    out = _Out()
+    run_detect(
+        "data/strainA.fna.gz", "expected/scrubbed_m05.txt", hits, stdout=out, **kwargs
+    )
+    with gzip.open(hits, "rb") as f:
+        payload = f.read()
+    assert payload == expected(golden_hits)
+    assert out.bytes() == expected(golden_stdout)
+
+
+def test_detect_batch_parity(tmp_path):
+    _detect(tmp_path, "kmer_hits.txt", "detect_stdout.txt", batch_list="data/targets.txt")
+
+
+def test_detect_background_filter_parity(tmp_path):
+    _detect(
+        tmp_path,
+        "kmer_hits_bg.txt",
+        "detect_bg_stdout.txt",
+        batch_list="data/targets.txt",
+        background_list="data/background.txt",
+    )
+
+
+def test_detect_single_pe_parity(tmp_path):
+    from strainer2_tpu.constants import IS_PAIRED_END
+
+    _detect(
+        tmp_path,
+        "kmer_hits_single.txt",
+        "detect_single_stdout.txt",
+        b_file="data/target_PE1.fasta.gz",
+        b_file2="data/target_PE2.fasta.gz",
+        file_type=IS_PAIRED_END,
+    )
+
+
+@pytest.mark.parametrize(
+    "kwargs,golden",
+    [
+        (dict(), "coverage_depth.tsv"),
+        (dict(min_kmer_hits=5), "coverage_depth_m5.tsv"),
+        (dict(background_metagenomes_file="data/background.txt"), "coverage_depth_bg.tsv"),
+    ],
+)
+def test_coverage_depth_parity(tmp_path, kwargs, golden):
+    from strainer2_tpu.pipeline.coverage import run_coverage_depth
+
+    hits_gz = str(tmp_path / "strainA_x.kmer_hits.gz")
+    with gzip.open(hits_gz, "wb") as f:
+        f.write(expected("kmer_hits.txt"))
+    out = _Out()
+    run_coverage_depth(hits_gz, out=out, **kwargs)
+    assert out.bytes() == expected(golden)
