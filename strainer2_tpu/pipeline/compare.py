@@ -1,0 +1,126 @@
+"""genome_compare stage: ANI-like k-mer containment scoring.
+
+Equivalent of the reference auxiliary binary (reference src/main.c:28-115 +
+src/genome_compare.c:242-354): hash every canonical k-mer of genome -a
+(set semantics, variable k, default 20), then stream each query file
+counting canonical-window hits/misses against the set.
+
+Rapid ("hybrid") mode replicates the reference's subsample-then-escalate
+control flow exactly: after the max_seeds-th evaluated (non-N) window, if
+the hit fraction exceeds the threshold the whole query is scanned
+("fullmap"), otherwise scanning stops and the partial tallies are printed
+(reference src/genome_compare.c:327-340).  On device each batch yields
+per-window hit/valid masks; the crossing point is located with a host-side
+cumulative sum, so the decision happens at exactly the same window as the
+reference's scalar loop.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from typing import IO
+
+import numpy as np
+
+from strainer2_tpu.index.build import StrainIndex, scan_file_codes
+from strainer2_tpu.io.batches import pack_stream
+from strainer2_tpu.io.fastx import read_fastx
+from strainer2_tpu.pipeline.engine import KmerEngine
+from strainer2_tpu.pipeline.scrub_count import read_list_file
+
+__all__ = ["CompareConfig", "GenomeComparer", "run_genome_compare"]
+
+DEFAULT_SEED = 20  # reference src/main.c:11
+CLONE_MODE = (50_000, 0.1)  # reference src/main.c:13,16
+STRAIN_MODE = (100_000, 0.05)  # reference src/main.c:14,15
+
+
+@dataclass
+class CompareConfig:
+    k: int = DEFAULT_SEED
+    rows: int = 256
+    row_len: int = 4096
+    max_seeds: int = 0  # 0 = scan everything
+    threshold_for_fullmap: float = 0.1  # reference src/main.c:17
+
+
+def _c_fraction(hits: int, misses: int) -> str:
+    """%f rendering incl. the reference's 0/0 case (x86 0.0/0.0 -> -nan)."""
+    denom = hits + misses
+    if denom == 0:
+        return "-nan"
+    return "%.6f" % (hits / denom)
+
+
+class GenomeComparer:
+    def __init__(self, a_file: str, cfg: CompareConfig | None = None):
+        self.cfg = cfg or CompareConfig()
+        self.a_file = a_file
+        self.engine = KmerEngine(self.cfg.k)
+        # set semantics: the reference inserts each canonical k-mer once
+        # (reference src/genome_compare.c:475-521)
+        self.index = StrainIndex.from_fasta(
+            a_file, self.engine, self.cfg.rows, self.cfg.row_len
+        )
+
+    def score_query(self, path: str, out: IO) -> tuple[int, int]:
+        """Score one query file; prints the reference's result line."""
+        cfg = self.cfg
+        t = self.index.table
+        table_dev = self.index.device_table()
+
+        hits = 0
+        evaluated = 0
+        fullmap = cfg.max_seeds == 0
+        decided = fullmap
+
+        seqs = (rec.seq for rec in read_fastx(path))
+        stream = pack_stream(seqs, cfg.k, rows=cfg.rows, row_len=cfg.row_len)
+        for batch in stream:
+            hit_m, valid_m = self.engine.hit_masks(
+                table_dev, t.h_bits, t.salt, batch.bases
+            )
+            hit_f = np.asarray(hit_m).reshape(-1)
+            valid_f = np.asarray(valid_m).reshape(-1)
+            if not decided:
+                cum_valid = np.cumsum(valid_f)
+                cross = np.searchsorted(cum_valid, cfg.max_seeds - evaluated)
+                if cross < cum_valid.size:
+                    # totals at exactly the max_seeds-th evaluated window
+                    hits_at = hits + int(np.cumsum(hit_f)[cross])
+                    eval_at = cfg.max_seeds
+                    frac = hits_at / eval_at if eval_at else 0.0
+                    decided = True
+                    if frac > cfg.threshold_for_fullmap:
+                        fullmap = True
+                    else:
+                        hits, evaluated = hits_at, eval_at
+                        break
+            hits += int(hit_f.sum())
+            evaluated += int(valid_f.sum())
+
+        misses = evaluated - hits
+        out.write(
+            f"{self.a_file}\t{path}\t{hits}\t{misses}\t{_c_fraction(hits, misses)}\n"
+        )
+        return hits, misses
+
+
+def run_genome_compare(
+    a_file: str,
+    b_file: str | None = None,
+    b_list: str | None = None,
+    cfg: CompareConfig | None = None,
+    print_header: bool = False,
+    out: IO | None = None,
+) -> None:
+    out = out if out is not None else sys.stdout
+    if print_header:
+        out.write("a_file\tb_file\thits\tmisses\tfrac\n")
+    comparer = GenomeComparer(a_file, cfg)
+    if b_file:
+        comparer.score_query(b_file, out)
+    elif b_list:
+        for path in read_list_file(b_list):
+            comparer.score_query(path, out)

@@ -35,6 +35,7 @@ class KmerEngine:
             partial(_classify_step, k=k, max_reads=max_reads),
             static_argnames=("h_bits", "salt"),
         )
+        self._hits = jax.jit(partial(_hit_masks, k=k), static_argnames=("h_bits", "salt"))
 
     # ---- index construction path ----
     def extract_codes(self, bases: np.ndarray) -> np.ndarray:
@@ -63,6 +64,18 @@ class KmerEngine:
         batch's n_reads are zero.
         """
         return self._classify(table, meta, bases, read_id, h_bits=h_bits, salt=salt)
+
+
+    # ---- containment scoring path (genome_compare) ----
+    def hit_masks(self, table, h_bits: int, salt: int, bases):
+        """Per-window (hit, valid) masks in scan order."""
+        return self._hits(table, bases, h_bits=h_bits, salt=salt)
+
+
+def _hit_masks(table, bases, *, k, h_bits, salt):
+    win = canonical_windows(jnp.asarray(bases), k)
+    found, _ = cuckoo_lookup(table, h_bits, salt, win.hi, win.lo)
+    return found & win.valid, win.valid
 
 
 def _extract(bases, *, k):
