@@ -1,0 +1,195 @@
+"""Multi-chip sharding: data-parallel reads x index-parallel cuckoo table.
+
+TPU-first scaling design (SURVEY.md §2.7):
+
+- **data axis**: packed read buffers are sharded by row across chips; each
+  chip canonicalizes and looks up only its rows.  The reference's analogue
+  is "run files sequentially on one core".
+- **index axis**: the cuckoo table (and its slot-indexed count buffer) is
+  sharded contiguously by row — "tensor parallelism for the membership
+  table", needed when pangenome-scale indexes outgrow one chip's HBM.
+  Each shard answers membership only for slots it owns; since a key lives
+  in exactly one slot, a psum over the index axis reconstructs full
+  lookup results where a global answer is needed (detection's per-window
+  class), while count accumulation needs *no* collectives at all: every
+  (data, index) device pair scatter-adds into its private count shard and
+  the merge is a single reduction at finalize time.  Integer adds make the
+  merged counts bit-identical to the single-chip result regardless of
+  device count.
+
+Everything is expressed with shard_map over a (data, index) Mesh so XLA
+schedules the collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from strainer2_tpu.index.hashing import cuckoo_slots
+from strainer2_tpu.ops.packing import canonical_windows
+
+try:  # JAX >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["make_mesh", "ShardedKmerEngine"]
+
+
+def make_mesh(data: int, index: int = 1, devices=None) -> Mesh:
+    """Build a (data, index) device mesh; data*index must equal #devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if data * index != devices.size:
+        raise ValueError(f"mesh {data}x{index} != {devices.size} devices")
+    return Mesh(devices.reshape(data, index), ("data", "index"))
+
+
+def _local_lookup(table_loc, qhi, qlo, h_bits, salt, shard_rows):
+    """Membership restricted to this index shard's slot range.
+
+    Returns (hit, local_slot, kmer-ownership mask resolved): hit is True only
+    where the key's owning slot lies in this shard.
+    """
+    h = 1 << h_bits
+    shi = qhi ^ jnp.uint32(salt) if salt else qhi
+    s0 = cuckoo_slots(shi, qlo, h_bits, 0).astype(jnp.int32)
+    s1 = cuckoo_slots(shi, qlo, h_bits, 1).astype(jnp.int32) + jnp.int32(h)
+
+    offset = jax.lax.axis_index("index") * shard_rows
+    hit = jnp.zeros(qhi.shape, dtype=bool)
+    slot_loc = jnp.zeros(qhi.shape, dtype=jnp.int32)
+    for s in (s0, s1):
+        local = s - offset
+        mine = (local >= 0) & (local < shard_rows)
+        safe = jnp.where(mine, local, 0)
+        row = table_loc[safe]
+        match = mine & (row[..., 0] == qhi) & (row[..., 1] == qlo)
+        hit = hit | match
+        slot_loc = jnp.where(match, safe, slot_loc)
+    return hit, slot_loc
+
+
+class ShardedKmerEngine:
+    """Sharded twins of the KmerEngine device programs.
+
+    counts layout: (n_data, num_slots) int32/uint32, sharded P('data',
+    'index') — each device owns a private (1, slots/n_index) tile; merge
+    with :meth:`merge_counts`.
+    """
+
+    def __init__(self, k: int, mesh: Mesh, h_bits: int, salt: int, num_slots: int,
+                 max_reads: int | None = None):
+        self.k = k
+        self.mesh = mesh
+        self.h_bits = h_bits
+        self.salt = salt
+        self.num_slots = num_slots
+        self.n_data = mesh.shape["data"]
+        self.n_index = mesh.shape["index"]
+        if num_slots % self.n_index:
+            raise ValueError("num_slots must divide evenly across the index axis")
+        self.shard_rows = num_slots // self.n_index
+        self.max_reads = max_reads
+
+        self._count = jax.jit(
+            shard_map(
+                partial(
+                    self._count_body,
+                    k=k,
+                    h_bits=h_bits,
+                    salt=salt,
+                    shard_rows=self.shard_rows,
+                ),
+                mesh=mesh,
+                in_specs=(P("data", "index"), P("index", None), P("data", None)),
+                out_specs=P("data", "index"),
+            ),
+            donate_argnums=(0,),
+        )
+        self._merge = jax.jit(
+            lambda counts: jnp.sum(counts, axis=0, dtype=counts.dtype)
+        )
+        if max_reads is not None:
+            self._classify = jax.jit(
+                shard_map(
+                    partial(
+                        self._classify_body,
+                        k=k,
+                        h_bits=h_bits,
+                        salt=salt,
+                        shard_rows=self.shard_rows,
+                        max_reads=max_reads,
+                        n_data=self.n_data,
+                    ),
+                    mesh=mesh,
+                    in_specs=(
+                        P("index", None),
+                        P("index"),
+                        P("data", None),
+                        P("data", None),
+                    ),
+                    out_specs=(P("data"), P("data")),
+                )
+            )
+
+    # ---- device programs ----
+    @staticmethod
+    def _count_body(counts_loc, table_loc, bases_loc, *, k, h_bits, salt, shard_rows):
+        win = canonical_windows(bases_loc, k)
+        hit, slot_loc = _local_lookup(table_loc, win.hi, win.lo, h_bits, salt, shard_rows)
+        hit = hit & win.valid
+        safe = jnp.where(hit, slot_loc, 0)
+        return counts_loc.at[0, safe.reshape(-1)].add(
+            hit.reshape(-1).astype(counts_loc.dtype)
+        )
+
+    @staticmethod
+    def _classify_body(table_loc, meta_loc, bases_loc, read_id_loc, *, k, h_bits,
+                       salt, shard_rows, max_reads, n_data):
+        win = canonical_windows(bases_loc, k)
+        hit, slot_loc = _local_lookup(table_loc, win.hi, win.lo, h_bits, salt, shard_rows)
+        hit = hit & win.valid
+        # exactly one index shard owns a hit k-mer -> psum reconstructs the
+        # global hit/class planes
+        kmer_class = jnp.where(hit, meta_loc[jnp.where(hit, slot_loc, 0)], 0)
+        hit_g = jax.lax.psum(hit.astype(jnp.int32), "index")
+        class_g = jax.lax.psum(kmer_class.astype(jnp.int32), "index")
+
+        win_read = read_id_loc[..., : win.hi.shape[-1]]
+        seg = jnp.where(hit_g > 0, win_read, max_reads).reshape(-1)
+        local_reads = max_reads  # read ids are batch-global; buckets replicated
+        total = jax.ops.segment_sum(
+            (hit_g > 0).reshape(-1).astype(jnp.int32), seg, num_segments=local_reads + 1
+        )
+        informative = jax.ops.segment_sum(
+            (class_g == 2).reshape(-1).astype(jnp.int32), seg, num_segments=local_reads + 1
+        )
+        # rows of one read never span data shards (packer invariant), so a
+        # psum over 'data' yields the per-read totals replicated everywhere;
+        # keep them sharded instead: each data shard holds its own partial.
+        return total[None, :], informative[None, :]
+
+    # ---- host API ----
+    def init_counts(self, dtype=jnp.uint32):
+        return jax.device_put(
+            jnp.zeros((self.n_data, self.num_slots), dtype=dtype),
+            jax.sharding.NamedSharding(self.mesh, P("data", "index")),
+        )
+
+    def count_batch(self, counts, table, bases):
+        return self._count(counts, table, bases)
+
+    def merge_counts(self, counts) -> np.ndarray:
+        """Collapse the data axis; bit-identical to single-chip counting."""
+        return np.asarray(self._merge(counts))
+
+    def classify_batch(self, table, meta, bases, read_id):
+        """Returns per-data-shard (total, informative) partial sums of shape
+        (n_data, max_reads+1); sum axis 0 to get per-read counts."""
+        return self._classify(table, meta, bases, read_id)

@@ -1,0 +1,101 @@
+"""Sharded (data x index) execution must be bit-identical to single-chip.
+
+Runs on the virtual 8-device CPU mesh configured in conftest.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from strainer2_tpu.index import StrainIndex
+from strainer2_tpu.io import max_reads_capacity, pack_stream
+from strainer2_tpu.parallel.sharding import ShardedKmerEngine, make_mesh
+from strainer2_tpu.pipeline import KmerEngine
+from tests.oracle import random_dna, seq_to_base_codes
+
+K = 31
+ROWS, ROW_LEN = 8, 512
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    rng = np.random.default_rng(42)
+    genome = random_dna(rng, 4000)
+    engine = KmerEngine(K, max_reads=max_reads_capacity(K, ROWS, ROW_LEN))
+    scan = []
+    for batch in pack_stream([genome.encode()], K, rows=ROWS, row_len=ROW_LEN):
+        scan.append(engine.extract_codes(batch.bases))
+    index = StrainIndex.from_scan_codes(np.concatenate(scan), k=K)
+    reads = [random_dna(rng, rng.integers(40, 150), n_prob=0.02) for _ in range(100)]
+    # make half the reads overlap the genome so there are real hits
+    for i in range(0, 100, 2):
+        start = int(rng.integers(0, 3800))
+        reads[i] = genome[start : start + 100]
+    batches = list(
+        pack_stream(
+            [r.encode() for r in reads], K, rows=ROWS, row_len=ROW_LEN, with_read_ids=True
+        )
+    )
+    return engine, index, batches
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_counting_matches_single_chip(setup, mesh_shape):
+    engine, index, batches = setup
+    t = index.table
+
+    # single-chip reference counts
+    counts1 = jnp.zeros(t.num_slots, dtype=jnp.uint32)
+    for b in batches:
+        counts1 = engine.count_batch(counts1, index.device_table(), t.h_bits, t.salt, b.bases)
+    expect = index.key_values(np.asarray(counts1))
+
+    mesh = make_mesh(*mesh_shape)
+    sharded = ShardedKmerEngine(K, mesh, t.h_bits, t.salt, t.num_slots)
+    counts = sharded.init_counts()
+    table = jax.device_put(
+        jnp.asarray(t.table),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("index", None)),
+    )
+    for b in batches:
+        counts = sharded.count_batch(counts, table, b.bases)
+    got = index.key_values(sharded.merge_counts(counts))
+    np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_sharded_classify_matches_single_chip(setup, mesh_shape):
+    engine, index, batches = setup
+    t = index.table
+    kmer_type = np.full(index.num_kmers, 1, np.uint32)
+    kmer_type[::3] = 2  # mark a third informative
+    meta = index.slot_values(kmer_type)
+    meta_dev = jnp.asarray(meta)
+    max_reads = engine.max_reads
+
+    mesh = make_mesh(*mesh_shape)
+    sharded = ShardedKmerEngine(
+        K, mesh, t.h_bits, t.salt, t.num_slots, max_reads=max_reads
+    )
+    table = jax.device_put(
+        jnp.asarray(t.table),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("index", None)),
+    )
+    meta_sh = jax.device_put(
+        meta_dev, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("index"))
+    )
+
+    for b in batches:
+        tot1, inf1 = engine.classify_batch(
+            index.device_table(), meta_dev, t.h_bits, t.salt, b.bases, b.read_id
+        )
+        tot_s, inf_s = sharded.classify_batch(table, meta_sh, b.bases, b.read_id)
+        np.testing.assert_array_equal(
+            np.asarray(tot_s).sum(axis=0), np.asarray(tot1)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(inf_s).sum(axis=0), np.asarray(inf1)
+        )
