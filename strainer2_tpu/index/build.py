@@ -82,11 +82,19 @@ class StrainIndex:
         return self.codes.shape[0]
 
     def device_table(self):
-        """Cuckoo table as a device array (uploaded once, cached)."""
+        """Cuckoo table as two contiguous device planes (uploaded once).
+
+        Separate 1-D (hi, lo) planes keep XLA's gather on its vectorized
+        path (see ops/lookup.py performance notes).
+        """
         if self._device_table is None:
             import jax.numpy as jnp
+            import numpy as _np
 
-            self._device_table = jnp.asarray(self.table.table)
+            self._device_table = (
+                jnp.asarray(_np.ascontiguousarray(self.table.table[:, 0])),
+                jnp.asarray(_np.ascontiguousarray(self.table.table[:, 1])),
+            )
         return self._device_table
 
     def key_planes(self) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,566 @@
+// strainer2-tpu native host data plane.
+//
+// C++ implementations of the host-side stages that surround the TPU
+// compute path:
+//   * streaming FASTA/FASTQ(.gz) decode -> 2-bit encode -> dense packed
+//     batch buffers (the production replacement for the reference's kseq
+//     parser, reference src/kseq.h, feeding fixed-shape device buffers
+//     instead of per-read heap strings),
+//   * replay of the reference hash's output row order (djb2 + linear
+//     probing + capacity doubling, reference src/BIO_hash.c) for
+//     bit-identical tables,
+//   * cuckoo table construction (eviction walk) for the device index,
+//   * fast count-table row formatting.
+//
+// Exposed as a C ABI consumed via ctypes (no pybind11 dependency).
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+// ---------------------------------------------------------------------------
+// gzip/plain line-less streaming reader
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint8_t kInvalidBase = 4;
+
+uint8_t g_base_code[256];
+
+struct CodeTableInit {
+  CodeTableInit() {
+    memset(g_base_code, kInvalidBase, sizeof(g_base_code));
+    g_base_code['A'] = g_base_code['a'] = 0;
+    g_base_code['C'] = g_base_code['c'] = 1;
+    g_base_code['G'] = g_base_code['g'] = 2;
+    g_base_code['T'] = g_base_code['t'] = 3;
+  }
+} g_code_table_init;
+
+// Buffered byte source over zlib (transparently handles plain files).
+class ByteSource {
+ public:
+  explicit ByteSource(const char* path) : f_(gzopen(path, "rb")) {}
+  ~ByteSource() {
+    if (f_) gzclose(f_);
+  }
+  bool ok() const { return f_ != nullptr; }
+
+  int peek() {
+    if (pos_ == len_ && !fill()) return -1;
+    return buf_[pos_];
+  }
+  int next() {
+    if (pos_ == len_ && !fill()) return -1;
+    return buf_[pos_++];
+  }
+  // Append bytes until newline (newline consumed, not appended).
+  // Returns false on EOF with nothing read.
+  bool read_line(std::string* out) {
+    out->clear();
+    int c = next();
+    if (c < 0) return false;
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') out->push_back(static_cast<char>(c));
+      c = next();
+    }
+    return true;
+  }
+
+ private:
+  bool fill() {
+    if (!f_) return false;
+    int n = gzread(f_, buf_, sizeof(buf_));
+    if (n <= 0) return false;
+    len_ = n;
+    pos_ = 0;
+    return true;
+  }
+  gzFile f_;
+  unsigned char buf_[1 << 16];
+  int pos_ = 0;
+  int len_ = 0;
+};
+
+// Streaming FASTA/FASTQ record reader: yields encoded sequences.
+class FastxReader {
+ public:
+  explicit ByteSource* src() { return src_.get(); }
+  explicit FastxReader(const char* path) : src_(new ByteSource(path)) {
+    format_ = 0;
+    int c = src_->peek();
+    if (c == '>') format_ = 1;
+    else if (c == '@') format_ = 2;
+    else if (c >= 0) format_ = -1;  // unknown
+  }
+  bool ok() const { return src_->ok() && format_ >= 0; }
+  bool eof_clean() const { return format_ == 0; }
+
+  // Returns false at EOF. Encoded bases appended to *seq (cleared first).
+  bool next(std::vector<uint8_t>* seq) {
+    seq->clear();
+    if (format_ == 1) return next_fasta(seq);
+    if (format_ == 2) return next_fastq(seq);
+    return false;
+  }
+
+ private:
+  bool next_fasta(std::vector<uint8_t>* seq) {
+    std::string line;
+    if (!pending_header_) {
+      // scan to the first '>' header
+      while (true) {
+        if (!src_->read_line(&line)) return false;
+        if (!line.empty() && line[0] == '>') break;
+      }
+      pending_header_ = true;
+    }
+    // read sequence lines until next header or EOF
+    while (true) {
+      int c = src_->peek();
+      if (c < 0) {
+        pending_header_ = false;
+        return true;
+      }
+      if (c == '>') {
+        src_->read_line(&line);  // consume header for the next call
+        return true;
+      }
+      src_->read_line(&line);
+      for (char ch : line) seq->push_back(g_base_code[(unsigned char)ch]);
+    }
+  }
+
+  bool next_fastq(std::vector<uint8_t>* seq) {
+    std::string line;
+    // header
+    while (true) {
+      if (!src_->read_line(&line)) return false;
+      if (!line.empty() && line[0] == '@') break;
+    }
+    // sequence lines until '+'
+    size_t seq_len = 0;
+    while (true) {
+      int c = src_->peek();
+      if (c < 0) return !seq->empty();
+      if (c == '+') {
+        src_->read_line(&line);
+        break;
+      }
+      src_->read_line(&line);
+      for (char ch : line) seq->push_back(g_base_code[(unsigned char)ch]);
+      seq_len += line.size();
+    }
+    // quality: consume bytes until length matches
+    size_t qlen = 0;
+    while (qlen < seq_len) {
+      if (!src_->read_line(&line)) break;
+      qlen += line.size();
+    }
+    return true;
+  }
+
+  std::unique_ptr<ByteSource> src_;
+  int format_;
+  bool pending_header_ = false;
+};
+
+// ---------------------------------------------------------------------------
+// dense batch packer (mirrors strainer2_tpu/io/batches.py invariants)
+// ---------------------------------------------------------------------------
+
+struct PackStream {
+  std::vector<std::string> paths;
+  int mode;  // 0 = concatenate files sequentially; 1 = interleave two files
+  int k, rows, row_len;
+  bool with_read_ids;
+  int group_size;
+  int64_t max_reads;  // <=0: unlimited
+
+  std::vector<std::unique_ptr<FastxReader>> readers;
+  size_t cur_file = 0;
+  bool io_error = false;
+  std::string error_path;
+
+  // pending group (reads not yet placed)
+  std::vector<std::vector<uint8_t>> group;
+  std::vector<std::vector<uint8_t>> carry;  // group that didn't fit the emitted batch
+  bool exhausted = false;
+
+  // current buffer cursors (buffer memory provided per next_batch call)
+  uint8_t* bases = nullptr;
+  int32_t* ids = nullptr;
+  int64_t* lengths = nullptr;
+  int row = 0, col = 0;
+  int64_t n_reads = 0;
+  bool batch_has_data = false;
+};
+
+bool fetch_group(PackStream* s) {
+  s->group.clear();
+  if (s->exhausted) return false;
+  if (s->mode == 1) {
+    // PE: one read from each of two files
+    std::vector<uint8_t> a, b;
+    if (!s->readers[0]->next(&a)) {
+      s->exhausted = true;
+      return false;
+    }
+    if (!s->readers[1]->next(&b)) {
+      s->exhausted = true;
+      s->io_error = true;  // PE2 ended early (caller reports)
+      s->error_path = s->paths[1];
+      return false;
+    }
+    s->group.push_back(std::move(a));
+    s->group.push_back(std::move(b));
+    return true;
+  }
+  // sequential files, group_size consecutive reads atomic
+  for (int g = 0; g < s->group_size;) {
+    std::vector<uint8_t> r;
+    if (s->cur_file >= s->readers.size()) {
+      s->exhausted = true;
+      break;
+    }
+    if (s->readers[s->cur_file]->next(&r)) {
+      s->group.push_back(std::move(r));
+      ++g;
+    } else {
+      ++s->cur_file;
+    }
+  }
+  return !s->group.empty();
+}
+
+int64_t capacity_left(const PackStream* s) {
+  int64_t in_row = s->row_len - s->col;
+  if (in_row < s->k) in_row = 0;
+  int64_t later = s->rows - s->row - 1;
+  if (later < 0) later = 0;
+  return in_row + later * (s->row_len - (s->k - 1));
+}
+
+// Place one read. Returns false if the buffer filled mid-read (only legal
+// for counting streams; caller emits and the placement continues in the
+// next buffer via *resume_pos).
+bool place_read(PackStream* s, const std::vector<uint8_t>& codes, int64_t rid,
+                size_t* resume_pos) {
+  int64_t n = (int64_t)codes.size();
+  if (n < s->k) return true;  // no windows; stats only
+  size_t pos = *resume_pos;
+  bool first = (pos == 0);
+  while ((int64_t)pos < n) {
+    if (s->row_len - s->col < s->k) {
+      s->row += 1;
+      s->col = 0;
+    }
+    if (s->row >= s->rows) {
+      *resume_pos = pos;
+      return false;  // buffer full mid-read
+    }
+    if (!first) pos -= (size_t)(s->k - 1);  // halo
+    first = false;
+    int64_t take = n - (int64_t)pos;
+    int64_t room = s->row_len - s->col;
+    if (take > room) take = room;
+    uint8_t* dst = s->bases + (int64_t)s->row * s->row_len + s->col;
+    memcpy(dst, codes.data() + pos, (size_t)take);
+    if (s->ids) {
+      int32_t* idst = s->ids + (int64_t)s->row * s->row_len + s->col;
+      for (int64_t i = 0; i < take; ++i) idst[i] = (int32_t)rid;
+    }
+    s->col += (int)take;
+    pos += (size_t)take;
+  }
+  // separator
+  if (s->row_len - s->col >= 1) {
+    s->col += 1;
+  } else {
+    s->row += 1;
+    s->col = 0;
+  }
+  *resume_pos = 0;
+  return true;
+}
+
+void reset_buffer(PackStream* s, uint8_t* bases, int32_t* ids, int64_t* lengths) {
+  s->bases = bases;
+  s->ids = ids;
+  s->lengths = lengths;
+  memset(bases, kInvalidBase, (size_t)s->rows * s->row_len);
+  if (ids) {
+    int64_t total = (int64_t)s->rows * s->row_len;
+    for (int64_t i = 0; i < total; ++i) ids[i] = -1;
+  }
+  s->row = 0;
+  s->col = 0;
+  s->n_reads = 0;
+  s->batch_has_data = false;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// mode: 0 sequential (1..n files), 1 = PE interleave of exactly 2 files.
+void* s2_open_pack_stream(const char** paths, int n_paths, int mode, int k,
+                          int rows, int row_len, int with_read_ids,
+                          int group_size, long long max_reads) {
+  auto* s = new PackStream();
+  s->mode = mode;
+  s->k = k;
+  s->rows = rows;
+  s->row_len = row_len;
+  s->with_read_ids = with_read_ids != 0;
+  s->group_size = group_size < 1 ? 1 : group_size;
+  s->max_reads = max_reads;
+  for (int i = 0; i < n_paths; ++i) {
+    s->paths.emplace_back(paths[i]);
+    s->readers.emplace_back(new FastxReader(paths[i]));
+    if (!s->readers.back()->ok()) {
+      s->io_error = true;
+      s->error_path = paths[i];
+    }
+  }
+  return s;
+}
+
+// Fills the provided buffers with the next batch.
+// Returns: n_reads > 0, 0 = end of stream, -1 = I/O error, -2 = read too
+// large for a read-id (detection) buffer.
+long long s2_next_batch(void* stream, uint8_t* bases, int32_t* read_ids,
+                        int64_t* read_lengths) {
+  auto* s = static_cast<PackStream*>(stream);
+  if (s->io_error) return -1;
+  reset_buffer(s, bases, s->with_read_ids ? read_ids : nullptr, read_lengths);
+
+  // carry-over group from the previous emit
+  auto take_group = [&](std::vector<std::vector<uint8_t>>& gr) -> int {
+    // capacity check for the whole group
+    int64_t need = 0;
+    for (auto& r : gr)
+      if ((int64_t)r.size() >= s->k) need += (int64_t)r.size() + 1;
+    need += (int64_t)gr.size();
+    bool over_reads = s->max_reads > 0 &&
+                      s->n_reads + (int64_t)gr.size() > s->max_reads;
+    if (s->batch_has_data && (capacity_left(s) < need || over_reads)) {
+      return 1;  // emit current batch first
+    }
+    for (auto& r : gr) {
+      int64_t rid = s->n_reads;
+      s->lengths[s->n_reads++] = (int64_t)r.size();
+      s->batch_has_data = true;
+      size_t resume = 0;
+      while (!place_read(s, r, rid, &resume)) {
+        if (s->with_read_ids) return -2;
+        // emit full buffer, continue this read in a fresh one: the caller
+        // sees a complete batch now; stash remaining part as carry
+        std::vector<uint8_t> rest(r.begin() + resume, r.end());
+        // keep k-1 halo
+        size_t halo = (size_t)(s->k - 1);
+        size_t cut = resume >= halo ? resume - halo : 0;
+        std::vector<uint8_t> rest_with_halo(r.begin() + cut, r.end());
+        s->carry.clear();
+        s->carry.push_back(std::move(rest_with_halo));
+        // any unplaced reads of the group after this one
+        return 2;
+      }
+    }
+    return 0;
+  };
+
+  // resume: carry fragment from previous buffer-split
+  if (!s->carry.empty()) {
+    auto gr = std::move(s->carry);
+    s->carry.clear();
+    int rc = take_group(gr);
+    if (rc == 2) return s->n_reads;  // split again (giant contig)
+    if (rc == -2) return -2;
+  }
+  if (!s->group.empty()) {
+    int rc = take_group(s->group);
+    if (rc == 1) {
+      // shouldn't happen on a fresh buffer unless group exceeds capacity
+      return -3;
+    }
+    if (rc == 2) return s->n_reads;
+    if (rc == -2) return -2;
+    s->group.clear();
+  }
+
+  while (fetch_group(s)) {
+    int rc = take_group(s->group);
+    if (rc == 1) return s->n_reads;  // group kept pending for next batch
+    if (rc == 2) return s->n_reads;  // buffer-splitting emit
+    if (rc == -2) return -2;
+    s->group.clear();
+  }
+  if (s->io_error && s->mode == 1) return -1;
+  return s->n_reads;  // may be 0 == end
+}
+
+int s2_stream_error(void* stream, char* path_out, int cap) {
+  auto* s = static_cast<PackStream*>(stream);
+  if (!s->io_error) return 0;
+  snprintf(path_out, cap, "%s", s->error_path.c_str());
+  return 1;
+}
+
+void s2_close_pack_stream(void* stream) { delete static_cast<PackStream*>(stream); }
+
+// ---- reference row-order replay (djb2 / linear probe / doubling) ----------
+
+static inline uint32_t djb2_of_code(uint64_t code, int k) {
+  uint32_t h = 5381;
+  static const char kAscii[4] = {'A', 'C', 'G', 'T'};
+  for (int i = k - 1; i >= 0; --i) {
+    // character i (MSB-first) lives at bit 2*(k-1-i)
+    char c = kAscii[(code >> (2 * i)) & 3];
+    h = (h << 5) + h + (uint32_t)c;
+  }
+  return h;
+}
+
+// codes: distinct canonical k-mers in first-encounter (insertion) order.
+// order_out: permutation such that codes[order_out] is printed row order.
+int s2_reference_row_order(const uint64_t* codes, long long n, int k,
+                           long long initial_capacity, long long* order_out) {
+  long long m = initial_capacity;
+  if (m == 0) m = 1000;
+  if (m < 10) m = 10;
+
+  std::vector<uint32_t> hashes((size_t)n);
+  for (long long i = 0; i < n; ++i) hashes[(size_t)i] = djb2_of_code(codes[i], k);
+
+  std::vector<long long> table((size_t)m, -1);
+  auto insert = [&](long long key, std::vector<long long>& tbl, long long cap) {
+    long long slot = (long long)(hashes[(size_t)key] % (uint32_t)cap);
+    while (tbl[(size_t)slot] != -1) {
+      if (++slot == cap) slot = 0;
+    }
+    tbl[(size_t)slot] = key;
+  };
+
+  long long count = 0;  // pre-insert key count (reference h->N)
+  for (long long i = 0; i < n; ++i) {
+    insert(i, table, m);
+    if (count >= m / 2) {
+      long long new_m = m * 2;
+      std::vector<long long> nt((size_t)new_m, -1);
+      for (long long s = 0; s < m; ++s)
+        if (table[(size_t)s] != -1) insert(table[(size_t)s], nt, new_m);
+      table.swap(nt);
+      m = new_m;
+    }
+    ++count;
+  }
+
+  long long out = 0;
+  for (long long s = 0; s < m; ++s)
+    if (table[(size_t)s] != -1) order_out[out++] = table[(size_t)s];
+  return out == n ? 0 : -1;
+}
+
+// ---- cuckoo build ----------------------------------------------------------
+
+static inline uint32_t mix32(uint32_t x) {
+  x ^= x >> 16;
+  x *= 0x7FEB352Du;
+  x ^= x >> 15;
+  x *= 0x846CA68Bu;
+  x ^= x >> 16;
+  return x;
+}
+
+static inline uint32_t cuckoo_slot(uint32_t hi, uint32_t lo, int h_bits, int which) {
+  static const uint32_t C[2][3] = {
+      {0x9E3779B1u, 0x85EBCA77u, 0xC2B2AE3Du},
+      {0x27D4EB2Fu, 0x165667B1u, 0xD3A2646Du},
+  };
+  uint32_t x = (hi * C[which][0]) ^ (lo * C[which][1]) ^ C[which][2];
+  x = mix32(x);
+  return h_bits < 32 ? (x >> (32 - h_bits)) : x;
+}
+
+// table: (2*(1<<h_bits)) x 2 uint32, pre-filled by caller with 0xFFFFFFFF.
+// Returns 0 on success, -1 on eviction failure (caller retries w/ new salt).
+int s2_build_cuckoo(const uint64_t* codes, long long n, int k, int h_bits,
+                    uint32_t salt, uint32_t* table, int32_t* slot_of_key) {
+  const long long h = 1LL << h_bits;
+  const int n_lo = k < 16 ? k : 16;
+  std::vector<long long> key_at_slot((size_t)(2 * h), -1);
+
+  auto slots_of = [&](long long i, long long* s0, long long* s1) {
+    uint64_t code = codes[i];
+    uint32_t lo = (uint32_t)(code & ((2 * n_lo < 64) ? ((1ULL << (2 * n_lo)) - 1) : ~0ULL));
+    uint32_t hi = (uint32_t)(code >> (2 * n_lo));
+    hi ^= salt;
+    *s0 = cuckoo_slot(hi, lo, h_bits, 0);
+    *s1 = (long long)cuckoo_slot(hi, lo, h_bits, 1) + h;
+  };
+
+  for (long long i = 0; i < n; ++i) {
+    long long cur = i;
+    long long s0, s1;
+    slots_of(cur, &s0, &s1);
+    long long target = key_at_slot[(size_t)s0] < 0 ? s0
+                       : key_at_slot[(size_t)s1] < 0 ? s1
+                                                     : s0;
+    int steps = 0;
+    while (true) {
+      long long displaced = key_at_slot[(size_t)target];
+      key_at_slot[(size_t)target] = cur;
+      slot_of_key[cur] = (int32_t)target;
+      if (displaced < 0) break;
+      if (++steps > 500) return -1;
+      cur = displaced;
+      slots_of(cur, &s0, &s1);
+      target = (slot_of_key[cur] == (int32_t)s0) ? s1 : s0;
+    }
+  }
+
+  for (long long s = 0; s < 2 * h; ++s) {
+    long long key = key_at_slot[(size_t)s];
+    if (key >= 0) {
+      uint64_t code = codes[key];
+      table[2 * s + 1] = (uint32_t)(code & ((2 * n_lo < 64) ? ((1ULL << (2 * n_lo)) - 1) : ~0ULL));
+      table[2 * s] = (uint32_t)(code >> (2 * n_lo));
+    }
+  }
+  return 0;
+}
+
+// ---- fast scrub-table row formatting ---------------------------------------
+
+// Writes rows [begin, end) into buf; returns bytes written or -1 if cap
+// would overflow. 4 columns when c3 == nullptr, else 5.
+long long s2_format_scrub_rows(char* buf, long long cap, const uint64_t* codes,
+                               const uint32_t* c0, const uint32_t* c1,
+                               const uint32_t* c2, const uint32_t* c3,
+                               long long begin, long long end, int k) {
+  char* p = buf;
+  char* limit = buf + cap - (k + 64);
+  static const char kAscii[4] = {'A', 'C', 'G', 'T'};
+  for (long long i = begin; i < end; ++i) {
+    if (p > limit) return -1;
+    uint64_t code = codes[i];
+    for (int j = k - 1; j >= 0; --j) *p++ = kAscii[(code >> (2 * j)) & 3];
+    if (c3)
+      p += sprintf(p, "\t%u\t%u\t%u\t%u\n", c0[i], c1[i], c2[i], c3[i]);
+    else
+      p += sprintf(p, "\t%u\t%u\t%u\n", c0[i], c1[i], c2[i]);
+  }
+  return (long long)(p - buf);
+}
+
+}  // extern "C"

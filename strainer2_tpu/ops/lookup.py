@@ -30,7 +30,7 @@ __all__ = ["cuckoo_lookup", "sorted_lookup", "accumulate_counts"]
 
 
 def cuckoo_lookup(
-    table: jax.Array,  # (2*H, 2) uint32
+    table,  # (t_hi, t_lo): two (2*H,) uint32 planes, or (2*H, 2) array
     h_bits: int,
     salt: int,
     qhi: jax.Array,
@@ -41,19 +41,30 @@ def cuckoo_lookup(
     Returns (found: bool (...,), slot: int32 (...,)).  ``slot`` is the row
     of the matching key (arbitrary where not found; pair with ``found``
     when scattering).
+
+    Performance notes (measured on v5e): table planes must be *separate
+    contiguous 1-D arrays passed as jit arguments* — a (2, N) layout or a
+    closure-captured constant pushes XLA's gather off the vectorized path
+    (ms instead of us for a 2M-query batch).  Queries are flattened before
+    the gather for the same reason.
     """
-    h = table.shape[0] // 2
+    if isinstance(table, (tuple, list)):
+        t_hi, t_lo = table
+    else:
+        t_hi, t_lo = table[..., 0], table[..., 1]
+    shape = qhi.shape
+    qhi = qhi.reshape(-1)
+    qlo = qlo.reshape(-1)
+    h = t_hi.shape[0] // 2
     shi = qhi ^ jnp.uint32(salt) if salt else qhi
     s0 = cuckoo_slots(shi, qlo, h_bits, 0).astype(jnp.int32)
     s1 = cuckoo_slots(shi, qlo, h_bits, 1).astype(jnp.int32) + jnp.int32(h)
 
-    r0 = table[s0]
-    r1 = table[s1]
-    hit0 = (r0[..., 0] == qhi) & (r0[..., 1] == qlo)
-    hit1 = (r1[..., 0] == qhi) & (r1[..., 1] == qlo)
+    hit0 = (t_hi[s0] == qhi) & (t_lo[s0] == qlo)
+    hit1 = (t_hi[s1] == qhi) & (t_lo[s1] == qlo)
     found = hit0 | hit1
     slot = jnp.where(hit0, s0, s1)
-    return found, slot
+    return found.reshape(shape), slot.reshape(shape)
 
 
 def sorted_lookup(
@@ -88,8 +99,11 @@ def accumulate_counts(
     slot: jax.Array,
     hit: jax.Array,  # bool — found & window-valid (& any extra mask)
 ) -> jax.Array:
-    """counts[slot] += hit, deterministically (integer scatter-add)."""
-    safe_slot = jnp.where(hit, slot, 0)
-    return counts.at[safe_slot.reshape(-1)].add(
-        hit.reshape(-1).astype(counts.dtype), mode="drop"
-    )
+    """counts[slot] += hit, deterministically (integer scatter-add).
+
+    Non-hits are routed to an out-of-range slot and dropped, so the
+    scatter's update operand is a broadcast constant — XLA's fast scatter
+    path (a per-element vector update operand is ~700x slower on v5e).
+    """
+    tgt = jnp.where(hit, slot, jnp.int32(counts.shape[0])).reshape(-1)
+    return counts.at[tgt].add(counts.dtype.type(1), mode="drop")

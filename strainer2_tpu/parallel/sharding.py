@@ -50,12 +50,16 @@ def make_mesh(data: int, index: int = 1, devices=None) -> Mesh:
     return Mesh(devices.reshape(data, index), ("data", "index"))
 
 
-def _local_lookup(table_loc, qhi, qlo, h_bits, salt, shard_rows):
+def _local_lookup(t_hi_loc, t_lo_loc, qhi, qlo, h_bits, salt, shard_rows):
     """Membership restricted to this index shard's slot range.
 
-    Returns (hit, local_slot, kmer-ownership mask resolved): hit is True only
-    where the key's owning slot lies in this shard.
+    Returns (hit, local_slot): hit is True only where the key's owning
+    slot lies in this shard.  Flat 1-D plane gathers keep XLA on its
+    vectorized gather path (see ops/lookup.py performance notes).
     """
+    shape = qhi.shape
+    qhi = qhi.reshape(-1)
+    qlo = qlo.reshape(-1)
     h = 1 << h_bits
     shi = qhi ^ jnp.uint32(salt) if salt else qhi
     s0 = cuckoo_slots(shi, qlo, h_bits, 0).astype(jnp.int32)
@@ -68,11 +72,10 @@ def _local_lookup(table_loc, qhi, qlo, h_bits, salt, shard_rows):
         local = s - offset
         mine = (local >= 0) & (local < shard_rows)
         safe = jnp.where(mine, local, 0)
-        row = table_loc[safe]
-        match = mine & (row[..., 0] == qhi) & (row[..., 1] == qlo)
+        match = mine & (t_hi_loc[safe] == qhi) & (t_lo_loc[safe] == qlo)
         hit = hit | match
         slot_loc = jnp.where(match, safe, slot_loc)
-    return hit, slot_loc
+    return hit.reshape(shape), slot_loc.reshape(shape)
 
 
 class ShardedKmerEngine:
@@ -107,7 +110,7 @@ class ShardedKmerEngine:
                     shard_rows=self.shard_rows,
                 ),
                 mesh=mesh,
-                in_specs=(P("data", "index"), P("index", None), P("data", None)),
+                in_specs=(P("data", "index"), P("index"), P("index"), P("data", None)),
                 out_specs=P("data", "index"),
             ),
             donate_argnums=(0,),
@@ -129,7 +132,8 @@ class ShardedKmerEngine:
                     ),
                     mesh=mesh,
                     in_specs=(
-                        P("index", None),
+                        P("index"),
+                        P("index"),
                         P("index"),
                         P("data", None),
                         P("data", None),
@@ -140,24 +144,30 @@ class ShardedKmerEngine:
 
     # ---- device programs ----
     @staticmethod
-    def _count_body(counts_loc, table_loc, bases_loc, *, k, h_bits, salt, shard_rows):
+    def _count_body(counts_loc, t_hi_loc, t_lo_loc, bases_loc, *, k, h_bits, salt,
+                    shard_rows):
         win = canonical_windows(bases_loc, k)
-        hit, slot_loc = _local_lookup(table_loc, win.hi, win.lo, h_bits, salt, shard_rows)
-        hit = hit & win.valid
-        safe = jnp.where(hit, slot_loc, 0)
-        return counts_loc.at[0, safe.reshape(-1)].add(
-            hit.reshape(-1).astype(counts_loc.dtype)
+        hit, slot_loc = _local_lookup(
+            t_hi_loc, t_lo_loc, win.hi, win.lo, h_bits, salt, shard_rows
         )
+        hit = hit & win.valid
+        # constant-update scatter with out-of-range drop: XLA's fast path
+        tgt = jnp.where(hit, slot_loc, jnp.int32(shard_rows)).reshape(-1)
+        return counts_loc.at[0, tgt].add(counts_loc.dtype.type(1), mode="drop")
 
     @staticmethod
-    def _classify_body(table_loc, meta_loc, bases_loc, read_id_loc, *, k, h_bits,
-                       salt, shard_rows, max_reads, n_data):
+    def _classify_body(t_hi_loc, t_lo_loc, meta_loc, bases_loc, read_id_loc, *, k,
+                       h_bits, salt, shard_rows, max_reads, n_data):
         win = canonical_windows(bases_loc, k)
-        hit, slot_loc = _local_lookup(table_loc, win.hi, win.lo, h_bits, salt, shard_rows)
+        hit, slot_loc = _local_lookup(
+            t_hi_loc, t_lo_loc, win.hi, win.lo, h_bits, salt, shard_rows
+        )
         hit = hit & win.valid
         # exactly one index shard owns a hit k-mer -> psum reconstructs the
         # global hit/class planes
-        kmer_class = jnp.where(hit, meta_loc[jnp.where(hit, slot_loc, 0)], 0)
+        kmer_class = jnp.where(
+            hit, meta_loc[jnp.where(hit, slot_loc, 0).reshape(-1)].reshape(hit.shape), 0
+        )
         hit_g = jax.lax.psum(hit.astype(jnp.int32), "index")
         class_g = jax.lax.psum(kmer_class.astype(jnp.int32), "index")
 
@@ -183,7 +193,8 @@ class ShardedKmerEngine:
         )
 
     def count_batch(self, counts, table, bases):
-        return self._count(counts, table, bases)
+        """``table`` is the sharded (t_hi, t_lo) plane pair."""
+        return self._count(counts, table[0], table[1], bases)
 
     def merge_counts(self, counts) -> np.ndarray:
         """Collapse the data axis; bit-identical to single-chip counting."""
@@ -192,4 +203,4 @@ class ShardedKmerEngine:
     def classify_batch(self, table, meta, bases, read_id):
         """Returns per-data-shard (total, informative) partial sums of shape
         (n_data, max_reads+1); sum axis 0 to get per-read counts."""
-        return self._classify(table, meta, bases, read_id)
+        return self._classify(table[0], table[1], meta, bases, read_id)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from strainer2_tpu.io.batches import PackedBatch
-from strainer2_tpu.ops.lookup import cuckoo_lookup
+from strainer2_tpu.ops.lookup import accumulate_counts, cuckoo_lookup
 from strainer2_tpu.ops.packing import canonical_windows, merge_code64_np
 
 __all__ = ["KmerEngine"]
@@ -50,8 +50,12 @@ class KmerEngine:
 
     # ---- panel counting path (kmer_scrub_count hot loop) ----
     def count_batch(self, counts, table, h_bits: int, salt: int, bases) -> jax.Array:
-        """counts[slot] += 1 per hit window; returns updated device counts."""
-        return self._count(counts, table, bases, h_bits=h_bits, salt=salt)
+        """counts[slot] += 1 per hit window; returns updated device counts.
+
+        ``table`` is the (t_hi, t_lo) plane pair from
+        StrainIndex.device_table().
+        """
+        return self._count(counts, table[0], table[1], bases, h_bits=h_bits, salt=salt)
 
     # ---- detection path: per-read hit aggregation ----
     def classify_batch(self, table, meta, h_bits: int, salt: int, bases, read_id):
@@ -63,18 +67,20 @@ class KmerEngine:
         invalid windows and is discarded by the caller; entries past the
         batch's n_reads are zero.
         """
-        return self._classify(table, meta, bases, read_id, h_bits=h_bits, salt=salt)
+        return self._classify(
+            table[0], table[1], meta, bases, read_id, h_bits=h_bits, salt=salt
+        )
 
 
     # ---- containment scoring path (genome_compare) ----
     def hit_masks(self, table, h_bits: int, salt: int, bases):
         """Per-window (hit, valid) masks in scan order."""
-        return self._hits(table, bases, h_bits=h_bits, salt=salt)
+        return self._hits(table[0], table[1], bases, h_bits=h_bits, salt=salt)
 
 
-def _hit_masks(table, bases, *, k, h_bits, salt):
+def _hit_masks(t_hi, t_lo, bases, *, k, h_bits, salt):
     win = canonical_windows(jnp.asarray(bases), k)
-    found, _ = cuckoo_lookup(table, h_bits, salt, win.hi, win.lo)
+    found, _ = cuckoo_lookup((t_hi, t_lo), h_bits, salt, win.hi, win.lo)
     return found & win.valid, win.valid
 
 
@@ -83,19 +89,17 @@ def _extract(bases, *, k):
     return win.hi, win.lo, win.valid
 
 
-def _count_step(counts, table, bases, *, k, h_bits, salt):
+def _count_step(counts, t_hi, t_lo, bases, *, k, h_bits, salt):
     win = canonical_windows(jnp.asarray(bases), k)
-    found, slot = cuckoo_lookup(table, h_bits, salt, win.hi, win.lo)
-    hit = found & win.valid
-    safe_slot = jnp.where(hit, slot, 0)
-    return counts.at[safe_slot.reshape(-1)].add(hit.reshape(-1).astype(counts.dtype))
+    found, slot = cuckoo_lookup((t_hi, t_lo), h_bits, salt, win.hi, win.lo)
+    return accumulate_counts(counts, slot, found & win.valid)
 
 
-def _classify_step(table, meta, bases, read_id, *, k, h_bits, salt, max_reads):
+def _classify_step(t_hi, t_lo, meta, bases, read_id, *, k, h_bits, salt, max_reads):
     win = canonical_windows(jnp.asarray(bases), k)
-    found, slot = cuckoo_lookup(table, h_bits, salt, win.hi, win.lo)
+    found, slot = cuckoo_lookup((t_hi, t_lo), h_bits, salt, win.hi, win.lo)
     hit = found & win.valid
-    kmer_class = jnp.where(hit, meta[jnp.where(hit, slot, 0)], 0)
+    kmer_class = jnp.where(hit, meta[jnp.where(hit, slot, 0).reshape(-1)].reshape(hit.shape), 0)
 
     # window -> owning read: the read id at the window's start position
     win_read = read_id[..., : win.hi.shape[-1]]

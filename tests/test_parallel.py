@@ -56,9 +56,11 @@ def test_sharded_counting_matches_single_chip(setup, mesh_shape):
     mesh = make_mesh(*mesh_shape)
     sharded = ShardedKmerEngine(K, mesh, t.h_bits, t.salt, t.num_slots)
     counts = sharded.init_counts()
-    table = jax.device_put(
-        jnp.asarray(t.table),
-        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("index", None)),
+    spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("index"))
+    import numpy as _np
+    table = (
+        jax.device_put(jnp.asarray(_np.ascontiguousarray(t.table[:, 0])), spec),
+        jax.device_put(jnp.asarray(_np.ascontiguousarray(t.table[:, 1])), spec),
     )
     for b in batches:
         counts = sharded.count_batch(counts, table, b.bases)
@@ -80,9 +82,11 @@ def test_sharded_classify_matches_single_chip(setup, mesh_shape):
     sharded = ShardedKmerEngine(
         K, mesh, t.h_bits, t.salt, t.num_slots, max_reads=max_reads
     )
-    table = jax.device_put(
-        jnp.asarray(t.table),
-        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("index", None)),
+    spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("index"))
+    import numpy as _np
+    table = (
+        jax.device_put(jnp.asarray(_np.ascontiguousarray(t.table[:, 0])), spec),
+        jax.device_put(jnp.asarray(_np.ascontiguousarray(t.table[:, 1])), spec),
     )
     meta_sh = jax.device_put(
         meta_dev, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("index"))
