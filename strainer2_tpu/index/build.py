@@ -35,12 +35,34 @@ def scan_file_codes(
     engine,
     rows: int = DEFAULT_ROWS,
     row_len: int = DEFAULT_ROW_LEN,
+    device: bool = False,
 ) -> np.ndarray:
-    """All valid canonical codes of a FASTA/FASTQ file in genome-scan order."""
+    """All valid canonical codes of a FASTA/FASTQ file in genome-scan order.
+
+    Index construction is the cold path and its output (every window code)
+    must land on host anyway, so the default extractor is the vectorized
+    NumPy twin of the device kernel — bulk device->host readback is the
+    wrong direction for this stage (and is pathologically slow over
+    remote-attached TPU transports).  Pass device=True to use the TPU
+    extraction kernel instead.
+    """
+    if device:
+        chunks = []
+        seqs = (rec.seq for rec in read_fastx(path))
+        for batch in pack_stream(seqs, engine.k, rows=rows, row_len=row_len):
+            chunks.append(engine.extract_codes(batch.bases))
+        if not chunks:
+            return np.empty(0, dtype=np.uint64)
+        return np.concatenate(chunks)
+
+    from strainer2_tpu.ops.packing import canonical_codes_np, encode_ascii_np
+
     chunks = []
-    seqs = (rec.seq for rec in read_fastx(path))
-    for batch in pack_stream(seqs, engine.k, rows=rows, row_len=row_len):
-        chunks.append(engine.extract_codes(batch.bases))
+    for rec in read_fastx(path):
+        codes = encode_ascii_np(np.frombuffer(rec.seq, dtype=np.uint8))
+        ccodes, valid = canonical_codes_np(codes, engine.k)
+        if ccodes.size:
+            chunks.append(ccodes[valid])
     if not chunks:
         return np.empty(0, dtype=np.uint64)
     return np.concatenate(chunks)

@@ -72,15 +72,23 @@ def build_cuckoo(codes: np.ndarray, k: int, h_bits: int | None = None) -> Cuckoo
     if h_bits is None:
         h_bits = max(4, int(np.ceil(np.log2(max(n, 1) / 0.84))))
 
+    from strainer2_tpu.native import build_cuckoo_native
+
     hi, lo = split_code64_np(codes, k)
     for attempt in range(_MAX_SEED_ATTEMPTS):
         salt = attempt * 0x9E3779B9 & 0xFFFFFFFF
-        try:
-            table, slot_of_key = _try_build(hi, lo, h_bits, salt)
+        native = build_cuckoo_native(codes, k, h_bits, salt)
+        if native is None:  # library unavailable: Python builder
+            try:
+                table, slot_of_key = _try_build(hi, lo, h_bits, salt)
+                return CuckooTable(table, slot_of_key, h_bits, salt)
+            except CuckooBuildError:
+                pass
+        elif native != "retry":
+            table, slot_of_key = native
             return CuckooTable(table, slot_of_key, h_bits, salt)
-        except CuckooBuildError:
-            if attempt % 2 == 1:
-                h_bits += 1  # grow every other retry
+        if attempt % 2 == 1:
+            h_bits += 1  # grow every other retry
     raise CuckooBuildError(f"cuckoo build failed for n={n} after retries")
 
 

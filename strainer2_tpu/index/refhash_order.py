@@ -42,18 +42,11 @@ def djb2_codes(codes: np.ndarray, k: int) -> np.ndarray:
     (mod 2^32), so the whole key set hashes in k vector passes.
     """
     codes = np.asarray(codes, dtype=np.uint64)
-    h = np.full(codes.shape, 5381, dtype=np.uint32)
-    p = np.uint32(1)
-    # accumulate from the last character backwards: h += c_i * 33^(k-1-i)
     acc = np.zeros(codes.shape, dtype=np.uint32)
-    for i in range(k - 1, -1, -1):
+    for i in range(k):
         c = _ASCII[((codes >> np.uint64(2 * (k - 1 - i))) & np.uint64(3)).astype(np.int64)]
-        acc += c * p
-        p = np.uint32(p * np.uint32(33))
-    base = np.uint32(5381)
-    for _ in range(k):
-        base = np.uint32(base * np.uint32(33))
-    return acc + base
+        acc += c * np.uint32(pow(33, k - 1 - i, 1 << 32))
+    return acc + np.uint32((5381 * pow(33, k, 1 << 32)) & 0xFFFFFFFF)
 
 
 def reference_row_order(
@@ -64,8 +57,15 @@ def reference_row_order(
     """Permutation p with codes[p] = reference printed row order.
 
     ``codes`` must be the distinct canonical k-mers in first-encounter
-    (i.e. reference insertion) order.
+    (i.e. reference insertion) order.  Uses the native C++ replay when
+    built (~100x the Python fallback below).
     """
+    from strainer2_tpu.native import reference_row_order_native
+
+    native = reference_row_order_native(codes, k, initial_capacity)
+    if native is not None:
+        return native
+
     n = codes.shape[0]
     hashes = djb2_codes(codes, k).tolist()
     m = reference_initial_capacity(initial_capacity)

@@ -1,0 +1,195 @@
+"""ctypes bindings for the native C++ host data plane.
+
+The shared library is built on demand with `make` (g++ + zlib only; no
+pybind11).  Every entry point has a pure-Python twin elsewhere in the
+package, so the framework works — more slowly — when the toolchain is
+unavailable; `available()` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libstrainer2host.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO):
+            try:
+                subprocess.run(
+                    ["make", "-C", _DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+
+        lib.s2_open_pack_stream.restype = ctypes.c_void_p
+        lib.s2_open_pack_stream.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_longlong,
+        ]
+        lib.s2_next_batch.restype = ctypes.c_longlong
+        lib.s2_next_batch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+        lib.s2_stream_error.restype = ctypes.c_int
+        lib.s2_stream_error.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.s2_close_pack_stream.argtypes = [ctypes.c_void_p]
+        lib.s2_reference_row_order.restype = ctypes.c_int
+        lib.s2_reference_row_order.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_void_p,
+        ]
+        lib.s2_build_cuckoo.restype = ctypes.c_int
+        lib.s2_build_cuckoo.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.s2_format_scrub_rows.restype = ctypes.c_longlong
+        lib.s2_format_scrub_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong] + [ctypes.c_void_p] * 5 + [
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def reference_row_order_native(codes: np.ndarray, k: int, initial_capacity: int) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    out = np.empty(codes.shape[0], dtype=np.int64)
+    rc = lib.s2_reference_row_order(
+        codes.ctypes.data, codes.shape[0], k, initial_capacity, out.ctypes.data
+    )
+    if rc != 0:
+        raise RuntimeError("native reference_row_order failed")
+    return out
+
+
+def build_cuckoo_native(codes: np.ndarray, k: int, h_bits: int, salt: int):
+    """Returns (table (2H,2) uint32, slot_of_key int32) or None on eviction
+    failure (caller retries with a new salt) / missing library."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    h = 1 << h_bits
+    table = np.full((2 * h, 2), 0xFFFFFFFF, dtype=np.uint32)
+    slot_of_key = np.empty(codes.shape[0], dtype=np.int32)
+    rc = lib.s2_build_cuckoo(
+        codes.ctypes.data, codes.shape[0], k, h_bits, salt,
+        table.ctypes.data, slot_of_key.ctypes.data,
+    )
+    if rc != 0:
+        return "retry"
+    return table, slot_of_key
+
+
+def format_scrub_rows(codes, c0, c1, c2, c3, k: int) -> bytes | None:
+    """Format count-table rows for [0, n); returns bytes or None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = codes.shape[0]
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    c0 = np.ascontiguousarray(c0, dtype=np.uint32)
+    c1 = np.ascontiguousarray(c1, dtype=np.uint32)
+    c2 = np.ascontiguousarray(c2, dtype=np.uint32)
+    c3p = None
+    if c3 is not None:
+        c3 = np.ascontiguousarray(c3, dtype=np.uint32)
+        c3p = c3.ctypes.data
+    cap = n * (k + 50) + 1024
+    buf = ctypes.create_string_buffer(cap)
+    nb = lib.s2_format_scrub_rows(
+        buf, cap, codes.ctypes.data, c0.ctypes.data, c1.ctypes.data,
+        c2.ctypes.data, c3p, 0, n, k,
+    )
+    if nb < 0:
+        raise RuntimeError("scrub row buffer overflow")
+    return buf.raw[:nb]
+
+
+class NativePackStream:
+    """Iterator of PackedBatch over the native reader/packer."""
+
+    def __init__(self, paths: Sequence[str], k: int, rows: int, row_len: int,
+                 mode: int = 0, with_read_ids: bool = False, group_size: int = 1,
+                 max_reads: int = 0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.k, self.rows, self.row_len = k, rows, row_len
+        self.with_read_ids = with_read_ids
+        arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+        cap = max_reads if max_reads else rows * row_len
+        self._max_reads_cap = cap
+        self._s = lib.s2_open_pack_stream(
+            arr, len(paths), mode, k, rows, row_len, int(with_read_ids),
+            group_size, max_reads,
+        )
+
+    def __iter__(self) -> Iterator:
+        from strainer2_tpu.io.batches import PackedBatch
+
+        try:
+            while True:
+                bases = np.empty((self.rows, self.row_len), dtype=np.uint8)
+                ids = (
+                    np.empty((self.rows, self.row_len), dtype=np.int32)
+                    if self.with_read_ids
+                    else np.empty((1, 1), dtype=np.int32)
+                )
+                lengths = np.empty(self._max_reads_cap + self.rows, dtype=np.int64)
+                n = self._lib.s2_next_batch(
+                    self._s, bases.ctypes.data, ids.ctypes.data, lengths.ctypes.data
+                )
+                if n < 0:
+                    buf = ctypes.create_string_buffer(4096)
+                    self._lib.s2_stream_error(self._s, buf, 4096)
+                    raise IOError(
+                        f"native read error ({n}) on {buf.value.decode()!r}"
+                    )
+                if n == 0:
+                    return
+                yield PackedBatch(
+                    bases=bases,
+                    read_id=ids if self.with_read_ids else None,
+                    n_reads=int(n),
+                    read_lengths=lengths[:n].copy(),
+                )
+        finally:
+            self.close()
+
+    def close(self):
+        if self._s:
+            self._lib.s2_close_pack_stream(self._s)
+            self._s = None

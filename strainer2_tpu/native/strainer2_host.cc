@@ -21,6 +21,7 @@
 #include <cstring>
 #include <string>
 #include <vector>
+#include <memory>
 
 // ---------------------------------------------------------------------------
 // gzip/plain line-less streaming reader
@@ -90,7 +91,6 @@ class ByteSource {
 // Streaming FASTA/FASTQ record reader: yields encoded sequences.
 class FastxReader {
  public:
-  explicit ByteSource* src() { return src_.get(); }
   explicit FastxReader(const char* path) : src_(new ByteSource(path)) {
     format_ = 0;
     int c = src_->peek();

@@ -174,8 +174,28 @@ def write_scrub_table(
     c2 = col_meta[order]
     c3 = col_drug[order] if col_drug is not None else None
 
+    from strainer2_tpu.native import format_scrub_rows
+
+    raw = getattr(out, "buffer", None)
+    if raw is not None:
+        out.flush()  # keep the text-layer header ordered before raw writes
+
     for start in range(0, codes.shape[0], chunk):
         end = min(start + chunk, codes.shape[0])
+        nat = format_scrub_rows(
+            codes[start:end],
+            c0[start:end],
+            c1[start:end],
+            c2[start:end],
+            c3[start:end] if c3 is not None else None,
+            index.k,
+        )
+        if nat is not None:
+            if raw is not None:
+                raw.write(nat)
+            else:
+                out.write(nat.decode("ascii"))
+            continue
         kmers = decode_codes_np(codes[start:end], index.k)
         if c3 is not None:
             rows = [
