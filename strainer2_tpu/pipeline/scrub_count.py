@@ -77,10 +77,16 @@ def count_panel_file(
     row_len: int,
 ):
     """Stream one panel file through the counting kernel."""
+    from strainer2_tpu import native
+
     table = index.device_table()
     t = index.table
-    seqs = (rec.seq for rec in read_fastx(path))
-    for batch in pack_stream(seqs, engine.k, rows=rows, row_len=row_len):
+    if native.available():
+        stream = native.NativePackStream([path], engine.k, rows, row_len)
+    else:
+        seqs = (rec.seq for rec in read_fastx(path))
+        stream = pack_stream(seqs, engine.k, rows=rows, row_len=row_len)
+    for batch in stream:
         counts = engine.count_batch(counts, table, t.h_bits, t.salt, batch.bases)
     return counts
 
