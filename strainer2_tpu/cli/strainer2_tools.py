@@ -1,0 +1,61 @@
+"""CLI for the reference's library-only modes.
+
+The reference keeps these behind commented-out Makefile targets
+(strain_track, pangenome_compare, kmer_matrix — reference src/Makefile:12);
+here they are first-class subcommands backed by the same TPU engine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="strainer2_tools",
+        description="Auxiliary multi-genome k-mer analyses (TPU engine)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pg = sub.add_parser("pangenome", help="per-genome k-mer occurrence tracks over a genome panel")
+    pg.add_argument("-A", dest="a_list", required=True, help="file listing genome FASTAs")
+    pg.add_argument("-r", dest="ref_file", default=None,
+                    help="write a track only for this genome (default: all)")
+    pg.add_argument("-d", dest="write_dist", action="store_true",
+                    help="also write the pangenome count histogram")
+    pg.add_argument("-s", dest="seed", type=int, default=31, help="k-mer length")
+
+    km = sub.add_parser("kmer-matrix", help="k-mer x file count matrix")
+    km.add_argument("-A", dest="a_list", required=True, help="file listing genome FASTAs")
+    km.add_argument("-s", dest="seed", type=int, default=31, help="k-mer length")
+
+    st = sub.add_parser("strain-track", help="unique-k-mer strain abundances in one metagenome")
+    st.add_argument("-A", dest="a_list", required=True, help="file listing strain FASTAs")
+    st.add_argument("-b", dest="b_file", required=True, help="metagenome file")
+    st.add_argument("-n", dest="no_track", action="store_true",
+                    help="skip per-strain track files")
+    st.add_argument("-m", dest="max_reads", type=int, default=0,
+                    help="stop after ~this many metagenome reads (0 = all)")
+    st.add_argument("-s", dest="seed", type=int, default=31, help="k-mer length")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from strainer2_tpu.pipeline import multi
+
+    if args.cmd == "pangenome":
+        multi.run_pangenome(args.a_list, ref_file=args.ref_file,
+                            write_dist=args.write_dist, k=args.seed, out=sys.stdout)
+    elif args.cmd == "kmer-matrix":
+        multi.run_kmer_matrix(args.a_list, k=args.seed, out=sys.stdout)
+    elif args.cmd == "strain-track":
+        multi.run_strain_track(args.a_list, args.b_file, k=args.seed,
+                               print_track=not args.no_track,
+                               max_reads=args.max_reads, out=sys.stdout)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

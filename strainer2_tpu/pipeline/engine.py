@@ -36,6 +36,11 @@ class KmerEngine:
             static_argnames=("h_bits", "salt"),
         )
         self._hits = jax.jit(partial(_hit_masks, k=k), static_argnames=("h_bits", "salt"))
+        self._count_valid = jax.jit(
+            partial(_count_valid_step, k=k),
+            static_argnames=("h_bits", "salt"),
+            donate_argnums=(0,),
+        )
 
     # ---- index construction path ----
     def extract_codes(self, bases: np.ndarray) -> np.ndarray:
@@ -72,6 +77,13 @@ class KmerEngine:
         )
 
 
+    def count_batch_with_valid(self, counts, table, h_bits: int, salt: int, bases):
+        """Like count_batch, also returns this batch's valid-window count
+        (a device scalar; the caller accumulates across batches)."""
+        return self._count_valid(
+            counts, table[0], table[1], bases, h_bits=h_bits, salt=salt
+        )
+
     # ---- containment scoring path (genome_compare) ----
     def hit_masks(self, table, h_bits: int, salt: int, bases):
         """Per-window (hit, valid) masks in scan order."""
@@ -87,6 +99,13 @@ def _hit_masks(t_hi, t_lo, bases, *, k, h_bits, salt):
 def _extract(bases, *, k):
     win = canonical_windows(jnp.asarray(bases), k)
     return win.hi, win.lo, win.valid
+
+
+def _count_valid_step(counts, t_hi, t_lo, bases, *, k, h_bits, salt):
+    win = canonical_windows(jnp.asarray(bases), k)
+    found, slot = cuckoo_lookup((t_hi, t_lo), h_bits, salt, win.hi, win.lo)
+    counts = accumulate_counts(counts, slot, found & win.valid)
+    return counts, jnp.sum(win.valid, dtype=jnp.int32)
 
 
 def _count_step(counts, t_hi, t_lo, bases, *, k, h_bits, salt):
