@@ -25,6 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", dest="write_dist", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--rows", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("--row-len", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--checkpoint", dest="checkpoint_dir", default=None,
+                   help="directory for restartable counting state (resume skips finished panel files)")
     p.add_argument("--no-reference-order", action="store_true",
                    help="emit rows in first-encounter order instead of replaying the reference hash order")
     return p
@@ -60,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
             out=sys.stdout,
             progress=progress,
             cfg=cfg,
+            checkpoint_dir=args.checkpoint_dir,
         )
     finally:
         if progress is not None:

@@ -98,19 +98,35 @@ def _count_panel(
     cfg: ScrubCountConfig,
     progress: IO | None,
     skip_path: str | None = None,
+    column: int = 0,
+    checkpoint=None,
 ) -> np.ndarray:
     """Count all files of one panel list into a fresh column; returns
-    per-key counts (first-encounter order)."""
+    per-key counts (first-encounter order).  With a checkpoint, completed
+    files are skipped on resume and counts persist per finished file."""
     import jax.numpy as jnp
 
-    counts = jnp.zeros(index.table.num_slots, dtype=jnp.uint32)
+    from collections import Counter
+
+    done: Counter = Counter()
+    counts_np = checkpoint.counts(column) if checkpoint else None
+    if counts_np is not None:
+        done = Counter(checkpoint.done_files(column))
+        counts = jnp.asarray(counts_np)
+    else:
+        counts = jnp.zeros(index.table.num_slots, dtype=jnp.uint32)
     if list_path is not None:
         for path in read_list_file(list_path):
             _progress_line(progress, path)
             if skip_path is not None and path == skip_path:
                 print(f"skipping {path} (identical match)", file=sys.stderr)
                 continue
+            if done[path] > 0:  # completed in a previous run (multiset:
+                done[path] -= 1  # duplicate list entries re-count)
+                continue
             counts = count_panel_file(engine, index, counts, path, cfg.rows, cfg.row_len)
+            if checkpoint is not None:
+                checkpoint.record(column, path, np.asarray(counts))
     return index.key_values(np.asarray(counts))
 
 
@@ -123,11 +139,16 @@ def run_scrub_count(
     progress: IO | None = None,
     cfg: ScrubCountConfig | None = None,
     index: StrainIndex | None = None,
+    checkpoint_dir: str | None = None,
 ) -> StrainIndex:
     """Full kmer_scrub_count stage; writes the count table to ``out``.
 
-    Returns the strain index (reusable by later stages / checkpointing).
+    checkpoint_dir enables restartable counting at panel-file granularity
+    (bit-identical to an uninterrupted run).  Returns the strain index
+    (reusable by later stages).
     """
+    from strainer2_tpu.constants import COL_DRUG, COL_METAGENOME, COL_PANGENOME
+
     cfg = cfg or ScrubCountConfig()
     out = out if out is not None else sys.stdout
     engine = KmerEngine(cfg.k)
@@ -135,10 +156,19 @@ def run_scrub_count(
     if index is None:
         index = StrainIndex.from_fasta(r_file, engine, cfg.rows, cfg.row_len)
 
-    col_pan = _count_panel(engine, index, a_list, cfg, progress)
-    col_meta = _count_panel(engine, index, b_list, cfg, progress)
+    ckpt = None
+    if checkpoint_dir:
+        from strainer2_tpu.pipeline.progress import ScrubCheckpoint
+
+        ckpt = ScrubCheckpoint(checkpoint_dir)
+
+    col_pan = _count_panel(engine, index, a_list, cfg, progress,
+                           column=COL_PANGENOME, checkpoint=ckpt)
+    col_meta = _count_panel(engine, index, b_list, cfg, progress,
+                            column=COL_METAGENOME, checkpoint=ckpt)
     col_drug = (
-        _count_panel(engine, index, c_list, cfg, progress, skip_path=r_file)
+        _count_panel(engine, index, c_list, cfg, progress, skip_path=r_file,
+                     column=COL_DRUG, checkpoint=ckpt)
         if c_list
         else None
     )
