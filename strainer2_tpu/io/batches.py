@@ -13,10 +13,12 @@ for counting streams, across buffers — with a k-1 base overlap halo so no
 window is lost or duplicated: the k-mer analogue of sequence-parallel
 context splitting (SURVEY.md §2.7).
 
-For detection, a parallel int32 plane carries the read id of each position;
-a window belongs to the read at its start position, and per-read hit counts
-become segment-sums over that plane (the per-read loops of reference
-src/strain_detect.c:443-541 collapse into two segment reductions).
+For detection, each read's valid windows form one contiguous span of the
+flattened window axis (halo continuation keeps spans unbroken), so per-read
+hit counts are differences of a cumulative sum at the recorded
+window_starts boundaries — the per-read loops of reference
+src/strain_detect.c:443-541 collapse into one vectorized cumsum plus a
+boundary gather, with no scatter at all.
 """
 
 from __future__ import annotations
@@ -46,12 +48,18 @@ class PackedBatch:
     read_lengths: (n_reads,) int64 original sequence lengths (also records
         reads shorter than k, which occupy no buffer space but matter for
         the reference's evaluated-read statistics).
+    window_starts: (n_reads,) int64 flat index (row * width + col, width =
+        row_len - k + 1) of each read's first window.  Because rows
+        continue a split read with a k-1 halo, a read's valid windows form
+        ONE contiguous flat span, so per-read reductions are differences
+        of a cumulative sum at these boundaries — no scatter needed.
     """
 
     bases: np.ndarray
     read_id: np.ndarray | None
     n_reads: int
     read_lengths: np.ndarray
+    window_starts: np.ndarray | None = None
 
 
 class _Packer:
@@ -76,6 +84,7 @@ class _Packer:
         self.row = 0
         self.col = 0
         self.lengths: list[int] = []
+        self.win_starts: list[int] = []
 
     def emit(self) -> PackedBatch | None:
         if not self.lengths:
@@ -85,6 +94,11 @@ class _Packer:
             read_id=self.ids,
             n_reads=len(self.lengths),
             read_lengths=np.asarray(self.lengths, dtype=np.int64),
+            window_starts=(
+                np.asarray(self.win_starts, dtype=np.int64)
+                if self.with_read_ids
+                else None
+            ),
         )
         self._reset()
         return out
@@ -102,9 +116,12 @@ class _Packer:
         split across buffers (counting streams only)."""
         rid = len(self.lengths)
         self.lengths.append(int(codes.shape[0]))
+        width = self.row_len - self.k + 1
         n = codes.shape[0]
         if n < self.k:
-            return  # no windows; length recorded for statistics
+            # no windows; boundary collapses onto the next read's span
+            self.win_starts.append(self.row * width + min(self.col, width))
+            return
         pos = 0
         first = True
         while pos < n:
@@ -122,8 +139,11 @@ class _Packer:
                     yield batch
                 rid = 0
                 self.lengths = [0]  # continuation fragment, stats not double-counted
+                self.win_starts = [0]
             if not first:
                 pos -= self.k - 1  # overlap halo: boundary windows exist exactly once
+            else:
+                self.win_starts.append(self.row * width + self.col)
             first = False
             take = min(n - pos, self.row_len - self.col)
             r, c = self.row, self.col

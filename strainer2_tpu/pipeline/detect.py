@@ -15,9 +15,11 @@ Pipeline equivalent of the reference binary (reference src/strain_detect.c):
 TPU mapping: the per-read counting loop — all the CPU time in the
 reference ("this is where we spend most of the CPU time", reference
 src/strain_detect.c:386) — is a single jitted program per packed batch:
-canonicalize -> cuckoo lookup -> gather k-mer class -> two segment-sums
-keyed by the batch's read-id plane.  Only reads that pass the thresholds
-(rare) are re-scanned on host to emit their rows.
+canonicalize -> cuckoo lookup -> gather k-mer class -> one cumsum whose
+differences at the packer's per-read window boundaries give every read's
+total/informative hit counts (reads are contiguous window spans; no
+scatter on the hot path).  Only reads that pass the thresholds (rare) are
+re-scanned on host to emit their rows.
 
 Deliberate divergence from the reference: reads shorter than k reset the
 pair's hit counters to zero instead of reusing the previous read's
@@ -275,6 +277,8 @@ class StrainDetector:
                 yield codes
 
         odd_interleave = False
+        n_windows = cfg.rows * (cfg.row_len - k + 1)
+        max_reads = self.engine.max_reads
         for batch in pack_stream(
             encoding_stream(),
             k,
@@ -284,8 +288,10 @@ class StrainDetector:
             group_size=group,
         ):
             n = batch.n_reads
+            boundaries = np.full(max_reads + 1, n_windows, dtype=np.int32)
+            boundaries[:n] = batch.window_starts
             tot_d, inf_d = self.engine.classify_batch(
-                table_dev, self._meta_dev, t.h_bits, t.salt, batch.bases, batch.read_id
+                table_dev, self._meta_dev, t.h_bits, t.salt, batch.bases, boundaries
             )
             tot = np.asarray(tot_d)[:n]
             inf = np.asarray(inf_d)[:n]

@@ -63,17 +63,20 @@ class KmerEngine:
         return self._count(counts, table[0], table[1], bases, h_bits=h_bits, salt=salt)
 
     # ---- detection path: per-read hit aggregation ----
-    def classify_batch(self, table, meta, h_bits: int, salt: int, bases, read_id):
-        """Per-read (total_hits, informative_hits) segment sums.
+    def classify_batch(self, table, meta, h_bits: int, salt: int, bases, boundaries):
+        """Per-read (total_hits, informative_hits) for one packed batch.
 
         meta: (2H,) uint32 slot-indexed k-mer class
               (NON_INFORMATIVE_KMER / INFORMATIVE_KMER, 0 for empty slots).
-        Returns device arrays (max_reads + 1,): last bucket collects
-        invalid windows and is discarded by the caller; entries past the
-        batch's n_reads are zero.
+        boundaries: (max_reads + 1,) int32 — per-read first-window flat
+              indices (PackedBatch.window_starts) padded with the total
+              window count.  Reads occupy contiguous flat window spans, so
+              per-read sums are differences of one vectorized cumsum at
+              these boundaries: no scatter/segment-sum on the hot path.
+        Returns device arrays (max_reads,); entries past n_reads are zero.
         """
         return self._classify(
-            table[0], table[1], meta, bases, read_id, h_bits=h_bits, salt=salt
+            table[0], table[1], meta, bases, boundaries, h_bits=h_bits, salt=salt
         )
 
 
@@ -114,19 +117,16 @@ def _count_step(counts, t_hi, t_lo, bases, *, k, h_bits, salt):
     return accumulate_counts(counts, slot, found & win.valid)
 
 
-def _classify_step(t_hi, t_lo, meta, bases, read_id, *, k, h_bits, salt, max_reads):
+def _classify_step(t_hi, t_lo, meta, bases, boundaries, *, k, h_bits, salt, max_reads):
     win = canonical_windows(jnp.asarray(bases), k)
     found, slot = cuckoo_lookup((t_hi, t_lo), h_bits, salt, win.hi, win.lo)
-    hit = found & win.valid
-    kmer_class = jnp.where(hit, meta[jnp.where(hit, slot, 0).reshape(-1)].reshape(hit.shape), 0)
+    hit = (found & win.valid).reshape(-1)
+    slot_flat = jnp.where(hit, slot.reshape(-1), 0)
+    informative = hit & (meta[slot_flat] == 2)
 
-    # window -> owning read: the read id at the window's start position
-    win_read = read_id[..., : win.hi.shape[-1]]
-    seg = jnp.where(hit, win_read, max_reads).reshape(-1)
-    total = jax.ops.segment_sum(
-        hit.reshape(-1).astype(jnp.int32), seg, num_segments=max_reads + 1
-    )
-    informative = jax.ops.segment_sum(
-        (kmer_class == 2).reshape(-1).astype(jnp.int32), seg, num_segments=max_reads + 1
-    )
-    return total, informative
+    zero = jnp.zeros(1, dtype=jnp.int32)
+    cum_hit = jnp.concatenate([zero, jnp.cumsum(hit.astype(jnp.int32))])
+    cum_inf = jnp.concatenate([zero, jnp.cumsum(informative.astype(jnp.int32))])
+    b0 = boundaries[:-1]
+    b1 = boundaries[1:]
+    return cum_hit[b1] - cum_hit[b0], cum_inf[b1] - cum_inf[b0]
