@@ -92,14 +92,17 @@ def test_sharded_classify_matches_single_chip(setup, mesh_shape):
         meta_dev, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("index"))
     )
 
+    n_windows = ROWS * (ROW_LEN - K + 1)
     for b in batches:
+        boundaries = np.full(max_reads + 1, n_windows, dtype=np.int32)
+        boundaries[: b.n_reads] = b.window_starts
         tot1, inf1 = engine.classify_batch(
-            index.device_table(), meta_dev, t.h_bits, t.salt, b.bases, b.read_id
+            index.device_table(), meta_dev, t.h_bits, t.salt, b.bases, boundaries
         )
         tot_s, inf_s = sharded.classify_batch(table, meta_sh, b.bases, b.read_id)
         np.testing.assert_array_equal(
-            np.asarray(tot_s).sum(axis=0), np.asarray(tot1)
+            np.asarray(tot_s).sum(axis=0)[:max_reads], np.asarray(tot1)
         )
         np.testing.assert_array_equal(
-            np.asarray(inf_s).sum(axis=0), np.asarray(inf1)
+            np.asarray(inf_s).sum(axis=0)[:max_reads], np.asarray(inf1)
         )
