@@ -3,8 +3,15 @@
 
 Measures the engine's hot loop — 2-bit canonical window extraction +
 cuckoo membership lookup + deterministic count scatter — over a
-strain-scale index (~6.7M k-mers, matching the bundled Bacteroides
+strain-scale index (6.7M k-mers, matching the bundled Bacteroides
 example) with a realistic hit/miss mix.
+
+Methodology (see docs/PERFORMANCE.md "Measurement caveats"): the step runs
+inside a jitted lax.fori_loop whose body depends on the loop counter (so
+XLA cannot hoist the lookup as loop-invariant), timed end-to-end
+(including the single result readback) at two chain lengths; the marginal
+cost per step is reported.  The accumulated hit count is checked for
+linearity across chain lengths, which fails if any execution is elided.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "lookups/s", "vs_baseline": N}
@@ -24,8 +31,8 @@ BASELINE_LOOKUPS_PER_S = 1.0e7
 K = 31
 ROWS, ROW_LEN = 512, 4096
 INDEX_KMERS = 6_700_000
-WARMUP_STEPS = 3
-BENCH_STEPS = 30
+SLICES = 4  # LICM-defeating rotation of input batches
+N_SHORT, N_LONG = 4, 36  # chain lengths (both multiples of SLICES)
 
 
 def main() -> None:
@@ -33,49 +40,71 @@ def main() -> None:
     import jax.numpy as jnp
 
     from strainer2_tpu.index import StrainIndex
-    from strainer2_tpu.pipeline.engine import KmerEngine
+    from strainer2_tpu.ops.lookup import accumulate_counts, cuckoo_lookup
+    from strainer2_tpu.ops.packing import canonical_codes_np, canonical_windows
 
     rng = np.random.default_rng(7)
 
-    # strain-scale index: unique canonical codes from a synthetic genome
-    # scan.  Built host-side: index build is the cold path, and keeping the
-    # benchmark loop free of bulk device<->host traffic measures the chip,
-    # not the attachment transport.
+    # strain-scale index, built host-side (cold path; keeps the benchmark
+    # loop free of bulk device<->host traffic)
     genome = rng.integers(0, 4, size=INDEX_KMERS + K - 1, dtype=np.uint8)
-    engine = KmerEngine(K)
     t0 = time.time()
-    from strainer2_tpu.ops.packing import canonical_codes_np
-
     scan, valid = canonical_codes_np(genome, K)
     index = StrainIndex.from_scan_codes(scan[valid], k=K)
     build_s = time.time() - t0
     t = index.table
-    table = index.device_table()
+    t_hi, t_lo = index.device_table()
 
-    # query batch: half genome-derived rows (hits), half random rows (misses)
-    bases = rng.integers(0, 4, size=(ROWS, ROW_LEN), dtype=np.uint8)
-    for r in range(0, ROWS, 2):
-        start = int(rng.integers(0, genome.size - ROW_LEN))
-        bases[r] = genome[start : start + ROW_LEN]
+    # query slices: half genome-derived rows (hits), half random (misses)
+    bases = rng.integers(0, 4, size=(SLICES, ROWS, ROW_LEN), dtype=np.uint8)
+    for s in range(SLICES):
+        for r in range(0, ROWS, 2):
+            start = int(rng.integers(0, genome.size - ROW_LEN))
+            bases[s, r] = genome[start : start + ROW_LEN]
     bases_dev = jnp.asarray(bases)
     lookups_per_step = ROWS * (ROW_LEN - K + 1)
 
-    counts = jnp.zeros(t.num_slots, dtype=jnp.uint32)
-    for _ in range(WARMUP_STEPS):
-        counts = engine.count_batch(counts, table, t.h_bits, t.salt, bases_dev)
-    counts.block_until_ready()
+    h_bits, salt = t.h_bits, t.salt
 
-    t0 = time.time()
-    for _ in range(BENCH_STEPS):
-        counts = engine.count_batch(counts, table, t.h_bits, t.salt, bases_dev)
-    counts.block_until_ready()
-    dt = time.time() - t0
+    def make_chain(n):
+        @jax.jit
+        def chain(thi, tlo, b):
+            def body(i, counts):
+                bi = jax.lax.dynamic_index_in_dim(b, i % SLICES, keepdims=False)
+                win = canonical_windows(bi, K)
+                found, slot = cuckoo_lookup((thi, tlo), h_bits, salt, win.hi, win.lo)
+                return accumulate_counts(counts, slot, found & win.valid)
 
-    lookups_per_s = BENCH_STEPS * lookups_per_step / dt
+            counts = jnp.zeros(t.num_slots, dtype=jnp.uint32)
+            out = jax.lax.fori_loop(0, n, body, counts)
+            return jnp.sum(out, dtype=jnp.uint32)
+
+        return chain
+
+    def run(n):
+        f = make_chain(n)
+        total = int(np.asarray(f(t_hi, t_lo, bases_dev)))  # compile + warm
+        t0 = time.time()
+        total = int(np.asarray(f(t_hi, t_lo, bases_dev)))
+        return time.time() - t0, total
+
+    d_short, sum_short = run(N_SHORT)
+    d_long, sum_long = run(N_LONG)
+
+    if sum_short * N_LONG != sum_long * N_SHORT or sum_long == 0:
+        print(
+            f"# WARNING: non-linear hit sums ({sum_short}@{N_SHORT} vs "
+            f"{sum_long}@{N_LONG}); execution may have been elided",
+            file=sys.stderr,
+        )
+
+    per_step = max((d_long - d_short) / (N_LONG - N_SHORT), 1e-9)
+    lookups_per_s = lookups_per_step / per_step
     print(
-        f"# index build: {build_s:.1f}s for {index.num_kmers} kmers; "
-        f"steady state: {dt:.3f}s for {BENCH_STEPS} steps "
-        f"({lookups_per_step} lookups/step) on {jax.devices()[0].platform}",
+        f"# index build {build_s:.1f}s ({index.num_kmers} kmers); chains: "
+        f"{N_SHORT} steps {d_short:.3f}s, {N_LONG} steps {d_long:.3f}s -> "
+        f"{per_step * 1e3:.2f} ms/step of {lookups_per_step} lookups on "
+        f"{jax.devices()[0].platform}",
         file=sys.stderr,
     )
     print(

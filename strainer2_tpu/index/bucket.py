@@ -1,0 +1,100 @@
+"""Single-probe bucketed membership table — the fast path on v5e.
+
+Measured fact (docs/PERFORMANCE.md): XLA serializes random access per
+*index*, but the slice width fetched per index is essentially free.  The
+bucket layout exploits this: one hash selects a bucket row that carries
+16 candidate keys *and* their metadata, so membership + slot + k-mer class
+all resolve from a single gathered row — one serialized access per query
+instead of the cuckoo path's four plane gathers.
+
+Row layout, (num_buckets, 64) uint32:
+    [ 16 x key_hi | 16 x key_lo | 16 x meta | 16 x pad ]
+Empty cells hold 0xFFFFFFFF in both key planes (impossible for k <= 31).
+slot id of bucket b, cell j = b * 16 + j; count buffers are (B*16 + 1,)
+with the trailing cell as the scatter drop target.
+
+Construction is a vectorized host pass (hash -> stable sort by bucket ->
+rank within bucket); a salt retry handles the (astronomically rare at
+load <= 4/16) bucket overflow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from strainer2_tpu.index.hashing import cuckoo_slots
+from strainer2_tpu.ops.packing import split_code64_np
+
+__all__ = ["BucketTable", "build_bucket_table", "KEYS_PER_BUCKET", "ROW_WIDTH"]
+
+KEYS_PER_BUCKET = 16
+ROW_WIDTH = 64
+EMPTY = np.uint32(0xFFFFFFFF)
+_MAX_SALT_ATTEMPTS = 16
+
+
+class BucketBuildError(RuntimeError):
+    pass
+
+
+class BucketTable:
+    """Built table + key->slot mapping (same contract as CuckooTable)."""
+
+    layout = "bucket"
+
+    def __init__(self, table: np.ndarray, slot_of_key: np.ndarray, h_bits: int, salt: int):
+        self.table = table  # (2**h_bits, ROW_WIDTH) uint32
+        self.slot_of_key = slot_of_key  # (N,) int32, bucket*16 + cell
+        self.h_bits = h_bits  # log2(num_buckets)
+        self.salt = salt
+
+    @property
+    def num_slots(self) -> int:
+        return self.table.shape[0] * KEYS_PER_BUCKET
+
+    def with_meta(self, per_slot_meta: np.ndarray) -> np.ndarray:
+        """Copy of the row table with the meta block filled from a
+        slot-indexed array (e.g. k-mer class for detection)."""
+        out = self.table.copy()
+        out[:, 32:48] = (
+            np.asarray(per_slot_meta, dtype=np.uint32).reshape(-1, KEYS_PER_BUCKET)
+        )
+        return out
+
+
+def build_bucket_table(codes: np.ndarray, k: int, h_bits: int | None = None) -> BucketTable:
+    """Vectorized bucket placement for unique uint64 ``codes``."""
+    codes = np.asarray(codes, dtype=np.uint64)
+    n = codes.shape[0]
+    if h_bits is None:
+        # mean bucket load ~<= 3.3 => overflow probability ~1e-8 per bucket
+        h_bits = max(4, int(np.ceil(np.log2(max(n, 1) / 3.3))))
+
+    hi, lo = split_code64_np(codes, k)
+    for attempt in range(_MAX_SALT_ATTEMPTS):
+        salt = attempt * 0x9E3779B9 & 0xFFFFFFFF
+        shi = hi ^ np.uint32(salt) if salt else hi
+        bucket = cuckoo_slots(shi, lo, h_bits, 0).astype(np.int64)
+        per_bucket = np.bincount(bucket, minlength=1 << h_bits)
+        if per_bucket.max(initial=0) > KEYS_PER_BUCKET:
+            if attempt % 4 == 3:
+                h_bits += 1  # pathological key set: grow occasionally
+            continue
+        order = np.argsort(bucket, kind="stable")
+        offsets = np.zeros((1 << h_bits) + 1, dtype=np.int64)
+        np.cumsum(per_bucket, out=offsets[1:])
+        cell = np.arange(n, dtype=np.int64) - offsets[bucket[order]]
+        slot_of_key = np.empty(n, dtype=np.int32)
+        slot_of_key[order] = (bucket[order] * KEYS_PER_BUCKET + cell).astype(np.int32)
+
+        table = np.full((1 << h_bits, ROW_WIDTH), EMPTY, dtype=np.uint32)
+        flat_hi = table[:, 0:16].reshape(-1)
+        flat_lo = table[:, 16:32].reshape(-1)
+        flat_hi[slot_of_key] = hi
+        flat_lo[slot_of_key] = lo
+        table[:, 0:16] = flat_hi.reshape(-1, 16)
+        table[:, 16:32] = flat_lo.reshape(-1, 16)
+        table[:, 32:48] = 0
+        table[:, 48:64] = 0
+        return BucketTable(table, slot_of_key, h_bits, salt)
+    raise BucketBuildError(f"bucket table build failed for n={n}")

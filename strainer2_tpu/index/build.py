@@ -22,6 +22,7 @@ from typing import Iterable
 import numpy as np
 
 from strainer2_tpu.constants import DEFAULT_K
+from strainer2_tpu.index.bucket import BucketTable, build_bucket_table
 from strainer2_tpu.index.cuckoo import CuckooTable, build_cuckoo
 from strainer2_tpu.io.batches import DEFAULT_ROW_LEN, DEFAULT_ROWS, pack_stream
 from strainer2_tpu.io.fastx import read_fastx
@@ -78,8 +79,13 @@ class StrainIndex:
     _device_table: object = field(default=None, repr=False)
 
     @classmethod
-    def from_scan_codes(cls, scan_codes: np.ndarray, k: int = DEFAULT_K) -> "StrainIndex":
-        """Build from the full (with duplicates) genome-scan code stream."""
+    def from_scan_codes(cls, scan_codes: np.ndarray, k: int = DEFAULT_K,
+                        layout: str = "bucket") -> "StrainIndex":
+        """Build from the full (with duplicates) genome-scan code stream.
+
+        layout='bucket' (default, single-gather lookup) or 'cuckoo'
+        (plane pair; used by the index-sharded multi-chip engine).
+        """
         if scan_codes.size == 0:
             raise ValueError("no valid k-mers found in genome")
         uniq, first_idx, counts = np.unique(
@@ -88,15 +94,23 @@ class StrainIndex:
         order = np.argsort(first_idx, kind="stable")
         codes = uniq[order]
         genome_counts = counts[order].astype(np.uint32)
-        table = build_cuckoo(codes, k)
+        if layout == "bucket":
+            table = build_bucket_table(codes, k)
+        else:
+            table = build_cuckoo(codes, k)
         return cls(k=k, codes=codes, genome_counts=genome_counts, table=table)
 
     @classmethod
     def from_fasta(cls, path: str, engine, rows: int = DEFAULT_ROWS,
                    row_len: int = DEFAULT_ROW_LEN) -> "StrainIndex":
         return cls.from_scan_codes(
-            scan_file_codes(path, engine, rows, row_len), k=engine.k
+            scan_file_codes(path, engine, rows, row_len), k=engine.k,
+            layout=getattr(engine, "layout", "bucket"),
         )
+
+    @property
+    def layout(self) -> str:
+        return getattr(self.table, "layout", "cuckoo")
 
     # ---- derived views ----
     @property
@@ -104,19 +118,24 @@ class StrainIndex:
         return self.codes.shape[0]
 
     def device_table(self):
-        """Cuckoo table as two contiguous device planes (uploaded once).
+        """Device-resident membership table (uploaded once, cached).
 
-        Separate 1-D (hi, lo) planes keep XLA's gather on its vectorized
-        path (see ops/lookup.py performance notes).
+        bucket layout: the (num_buckets, 64) row array.
+        cuckoo layout: two contiguous 1-D (hi, lo) planes — separate
+        arrays keep XLA's gather on its vectorized path (see
+        ops/lookup.py performance notes).
         """
         if self._device_table is None:
             import jax.numpy as jnp
             import numpy as _np
 
-            self._device_table = (
-                jnp.asarray(_np.ascontiguousarray(self.table.table[:, 0])),
-                jnp.asarray(_np.ascontiguousarray(self.table.table[:, 1])),
-            )
+            if self.layout == "bucket":
+                self._device_table = jnp.asarray(self.table.table)
+            else:
+                self._device_table = (
+                    jnp.asarray(_np.ascontiguousarray(self.table.table[:, 0])),
+                    jnp.asarray(_np.ascontiguousarray(self.table.table[:, 1])),
+                )
         return self._device_table
 
     def key_planes(self) -> tuple[np.ndarray, np.ndarray]:
@@ -143,12 +162,15 @@ class StrainIndex:
             slot_of_key=self.table.slot_of_key,
             h_bits=self.table.h_bits,
             salt=self.table.salt,
+            layout=self.layout,
         )
 
     @classmethod
     def load(cls, path: str) -> "StrainIndex":
         z = np.load(path)
-        table = CuckooTable(
+        layout = str(z["layout"]) if "layout" in z else "cuckoo"
+        cls_table = BucketTable if layout == "bucket" else CuckooTable
+        table = cls_table(
             z["table"], z["slot_of_key"], int(z["h_bits"]), int(z["salt"])
         )
         return cls(

@@ -26,7 +26,7 @@ import numpy as np
 
 from strainer2_tpu.index.hashing import cuckoo_slots
 
-__all__ = ["cuckoo_lookup", "sorted_lookup", "accumulate_counts"]
+__all__ = ["cuckoo_lookup", "bucket_lookup", "sorted_lookup", "accumulate_counts"]
 
 
 def cuckoo_lookup(
@@ -107,3 +107,33 @@ def accumulate_counts(
     """
     tgt = jnp.where(hit, slot, jnp.int32(counts.shape[0])).reshape(-1)
     return counts.at[tgt].add(counts.dtype.type(1), mode="drop")
+
+
+def bucket_lookup(
+    rows: jax.Array,  # (num_buckets, 64) uint32 — see index/bucket.py layout
+    h_bits: int,
+    salt: int,
+    qhi: jax.Array,
+    qlo: jax.Array,
+):
+    """Single-gather membership via the bucketed row layout.
+
+    One serialized random access per query: the gathered 64-lane row holds
+    16 candidate (hi, lo) keys plus their meta lane; comparison, cell
+    selection, and meta extraction are pure vector ops.
+
+    Returns (found bool, slot int32, meta uint32) with shapes of qhi.
+    """
+    shape = qhi.shape
+    qhi = qhi.reshape(-1)
+    qlo = qlo.reshape(-1)
+    shi = qhi ^ jnp.uint32(salt) if salt else qhi
+    bucket = cuckoo_slots(shi, qlo, h_bits, 0).astype(jnp.int32)
+    row = rows[bucket]  # (Q, 64): the only random access
+    eq = (row[:, 0:16] == qhi[:, None]) & (row[:, 16:32] == qlo[:, None])
+    found = eq.any(axis=1)
+    cell = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    slot = bucket * jnp.int32(16) + cell
+    # meta without a second gather: masked lane reduction
+    meta = jnp.sum(jnp.where(eq, row[:, 32:48], jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+    return found.reshape(shape), slot.reshape(shape), meta.reshape(shape)

@@ -191,7 +191,16 @@ class StrainDetector:
         self._type_sorted = self.kmer_type[self._sorted_order]
         import jax.numpy as jnp
 
-        self._meta_dev = jnp.asarray(self.index.slot_values(self.kmer_type))
+        if self.index.layout == "bucket":
+            # bake the k-mer class into the bucket rows: classification
+            # then needs a single gather per window
+            self._classify_table = jnp.asarray(
+                self.index.table.with_meta(self.index.slot_values(self.kmer_type))
+            )
+            self._meta_dev = None
+        else:
+            self._classify_table = self.index.device_table()
+            self._meta_dev = jnp.asarray(self.index.slot_values(self.kmer_type))
         self.total_genome_kmers = self.index.num_kmers
         self.total_genome_informative = int(
             np.count_nonzero(self.kmer_type == INFORMATIVE_KMER)
@@ -263,7 +272,6 @@ class StrainDetector:
         paired = ftype != NOT_PAIRED_END
         group = 2 if paired else 1
         t = self.index.table
-        table_dev = self.index.device_table()
 
         total_kmers_evaluated = 0
         total_reads_evaluated = 0
@@ -291,7 +299,8 @@ class StrainDetector:
             boundaries = np.full(max_reads + 1, n_windows, dtype=np.int32)
             boundaries[:n] = batch.window_starts
             tot_d, inf_d = self.engine.classify_batch(
-                table_dev, self._meta_dev, t.h_bits, t.salt, batch.bases, boundaries
+                self._classify_table, self._meta_dev, t.h_bits, t.salt,
+                batch.bases, boundaries
             )
             tot = np.asarray(tot_d)[:n]
             inf = np.asarray(inf_d)[:n]

@@ -15,29 +15,43 @@ import jax.numpy as jnp
 import numpy as np
 
 from strainer2_tpu.io.batches import PackedBatch
-from strainer2_tpu.ops.lookup import accumulate_counts, cuckoo_lookup
+from strainer2_tpu.ops.lookup import accumulate_counts, bucket_lookup, cuckoo_lookup
 from strainer2_tpu.ops.packing import canonical_windows, merge_code64_np
 
 __all__ = ["KmerEngine"]
 
 
 class KmerEngine:
-    def __init__(self, k: int, max_reads: int | None = None):
+    """layout='bucket' (default): single-gather bucketed table (the fast
+    path on v5e — one serialized random access per query).
+    layout='cuckoo': two-probe plane-pair table (used by the sharded
+    engine, where the table is split across an index mesh axis)."""
+
+    def __init__(self, k: int, max_reads: int | None = None, layout: str = "bucket"):
         self.k = k
         self.max_reads = max_reads
+        self.layout = layout
+        bucket = layout == "bucket"
         self._extract = jax.jit(partial(_extract, k=k))
         self._count = jax.jit(
-            partial(_count_step, k=k),
+            partial(_count_step_bucket if bucket else _count_step, k=k),
             static_argnames=("h_bits", "salt"),
             donate_argnums=(0,),
         )
         self._classify = jax.jit(
-            partial(_classify_step, k=k, max_reads=max_reads),
+            partial(
+                _classify_step_bucket if bucket else _classify_step,
+                k=k,
+                max_reads=max_reads,
+            ),
             static_argnames=("h_bits", "salt"),
         )
-        self._hits = jax.jit(partial(_hit_masks, k=k), static_argnames=("h_bits", "salt"))
+        self._hits = jax.jit(
+            partial(_hit_masks_bucket if bucket else _hit_masks, k=k),
+            static_argnames=("h_bits", "salt"),
+        )
         self._count_valid = jax.jit(
-            partial(_count_valid_step, k=k),
+            partial(_count_valid_step_bucket if bucket else _count_valid_step, k=k),
             static_argnames=("h_bits", "salt"),
             donate_argnums=(0,),
         )
@@ -57,9 +71,12 @@ class KmerEngine:
     def count_batch(self, counts, table, h_bits: int, salt: int, bases) -> jax.Array:
         """counts[slot] += 1 per hit window; returns updated device counts.
 
-        ``table`` is the (t_hi, t_lo) plane pair from
-        StrainIndex.device_table().
+        ``table`` is StrainIndex.device_table(): the (num_buckets, 64) row
+        array for the bucket layout, or the (t_hi, t_lo) plane pair for
+        cuckoo.
         """
+        if self.layout == "bucket":
+            return self._count(counts, table, bases, h_bits=h_bits, salt=salt)
         return self._count(counts, table[0], table[1], bases, h_bits=h_bits, salt=salt)
 
     # ---- detection path: per-read hit aggregation ----
@@ -75,6 +92,9 @@ class KmerEngine:
               these boundaries: no scatter/segment-sum on the hot path.
         Returns device arrays (max_reads,); entries past n_reads are zero.
         """
+        if self.layout == "bucket":
+            # meta lanes are baked into the row table (BucketTable.with_meta)
+            return self._classify(table, bases, boundaries, h_bits=h_bits, salt=salt)
         return self._classify(
             table[0], table[1], meta, bases, boundaries, h_bits=h_bits, salt=salt
         )
@@ -83,6 +103,8 @@ class KmerEngine:
     def count_batch_with_valid(self, counts, table, h_bits: int, salt: int, bases):
         """Like count_batch, also returns this batch's valid-window count
         (a device scalar; the caller accumulates across batches)."""
+        if self.layout == "bucket":
+            return self._count_valid(counts, table, bases, h_bits=h_bits, salt=salt)
         return self._count_valid(
             counts, table[0], table[1], bases, h_bits=h_bits, salt=salt
         )
@@ -90,6 +112,8 @@ class KmerEngine:
     # ---- containment scoring path (genome_compare) ----
     def hit_masks(self, table, h_bits: int, salt: int, bases):
         """Per-window (hit, valid) masks in scan order."""
+        if self.layout == "bucket":
+            return self._hits(table, bases, h_bits=h_bits, salt=salt)
         return self._hits(table[0], table[1], bases, h_bits=h_bits, salt=salt)
 
 
@@ -123,6 +147,41 @@ def _classify_step(t_hi, t_lo, meta, bases, boundaries, *, k, h_bits, salt, max_
     hit = (found & win.valid).reshape(-1)
     slot_flat = jnp.where(hit, slot.reshape(-1), 0)
     informative = hit & (meta[slot_flat] == 2)
+
+    zero = jnp.zeros(1, dtype=jnp.int32)
+    cum_hit = jnp.concatenate([zero, jnp.cumsum(hit.astype(jnp.int32))])
+    cum_inf = jnp.concatenate([zero, jnp.cumsum(informative.astype(jnp.int32))])
+    b0 = boundaries[:-1]
+    b1 = boundaries[1:]
+    return cum_hit[b1] - cum_hit[b0], cum_inf[b1] - cum_inf[b0]
+
+
+# ---- bucket-layout variants: one serialized random access per query ----
+
+def _count_step_bucket(counts, rows, bases, *, k, h_bits, salt):
+    win = canonical_windows(jnp.asarray(bases), k)
+    found, slot, _ = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
+    return accumulate_counts(counts, slot, found & win.valid)
+
+
+def _count_valid_step_bucket(counts, rows, bases, *, k, h_bits, salt):
+    win = canonical_windows(jnp.asarray(bases), k)
+    found, slot, _ = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
+    counts = accumulate_counts(counts, slot, found & win.valid)
+    return counts, jnp.sum(win.valid, dtype=jnp.int32)
+
+
+def _hit_masks_bucket(rows, bases, *, k, h_bits, salt):
+    win = canonical_windows(jnp.asarray(bases), k)
+    found, _, _ = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
+    return found & win.valid, win.valid
+
+
+def _classify_step_bucket(rows, bases, boundaries, *, k, h_bits, salt, max_reads):
+    win = canonical_windows(jnp.asarray(bases), k)
+    found, _, meta = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
+    hit = (found & win.valid).reshape(-1)
+    informative = hit & (meta.reshape(-1) == 2)
 
     zero = jnp.zeros(1, dtype=jnp.int32)
     cum_hit = jnp.concatenate([zero, jnp.cumsum(hit.astype(jnp.int32))])

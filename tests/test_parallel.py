@@ -24,11 +24,11 @@ def setup():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     rng = np.random.default_rng(42)
     genome = random_dna(rng, 4000)
-    engine = KmerEngine(K, max_reads=max_reads_capacity(K, ROWS, ROW_LEN))
+    engine = KmerEngine(K, max_reads=max_reads_capacity(K, ROWS, ROW_LEN), layout="cuckoo")
     scan = []
     for batch in pack_stream([genome.encode()], K, rows=ROWS, row_len=ROW_LEN):
         scan.append(engine.extract_codes(batch.bases))
-    index = StrainIndex.from_scan_codes(np.concatenate(scan), k=K)
+    index = StrainIndex.from_scan_codes(np.concatenate(scan), k=K, layout="cuckoo")
     reads = [random_dna(rng, rng.integers(40, 150), n_prob=0.02) for _ in range(100)]
     # make half the reads overlap the genome so there are real hits
     for i in range(0, 100, 2):
