@@ -40,7 +40,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from strainer2_tpu.index import StrainIndex
-    from strainer2_tpu.ops.lookup import accumulate_counts, cuckoo_lookup
+    from strainer2_tpu.ops.lookup import accumulate_counts, bucket_lookup
     from strainer2_tpu.ops.packing import canonical_codes_np, canonical_windows
 
     rng = np.random.default_rng(7)
@@ -53,7 +53,7 @@ def main() -> None:
     index = StrainIndex.from_scan_codes(scan[valid], k=K)
     build_s = time.time() - t0
     t = index.table
-    t_hi, t_lo = index.device_table()
+    rows_dev = index.device_table()  # bucket layout: (num_buckets, 64) rows
 
     # query slices: half genome-derived rows (hits), half random (misses)
     bases = rng.integers(0, 4, size=(SLICES, ROWS, ROW_LEN), dtype=np.uint8)
@@ -68,11 +68,11 @@ def main() -> None:
 
     def make_chain(n):
         @jax.jit
-        def chain(thi, tlo, b):
+        def chain(rows, b):
             def body(i, counts):
                 bi = jax.lax.dynamic_index_in_dim(b, i % SLICES, keepdims=False)
                 win = canonical_windows(bi, K)
-                found, slot = cuckoo_lookup((thi, tlo), h_bits, salt, win.hi, win.lo)
+                found, slot, _ = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
                 return accumulate_counts(counts, slot, found & win.valid)
 
             counts = jnp.zeros(t.num_slots, dtype=jnp.uint32)
@@ -83,9 +83,9 @@ def main() -> None:
 
     def run(n):
         f = make_chain(n)
-        total = int(np.asarray(f(t_hi, t_lo, bases_dev)))  # compile + warm
+        total = int(np.asarray(f(rows_dev, bases_dev)))  # compile + warm
         t0 = time.time()
-        total = int(np.asarray(f(t_hi, t_lo, bases_dev)))
+        total = int(np.asarray(f(rows_dev, bases_dev)))
         return time.time() - t0, total
 
     d_short, sum_short = run(N_SHORT)

@@ -56,6 +56,12 @@ def scan_file_codes(
             return np.empty(0, dtype=np.uint64)
         return np.concatenate(chunks)
 
+    from strainer2_tpu.native import scan_file_codes_native
+
+    native = scan_file_codes_native(path, engine.k)
+    if native is not None:
+        return native
+
     from strainer2_tpu.ops.packing import canonical_codes_np, encode_ascii_np
 
     chunks = []
@@ -80,12 +86,17 @@ class StrainIndex:
 
     @classmethod
     def from_scan_codes(cls, scan_codes: np.ndarray, k: int = DEFAULT_K,
-                        layout: str = "bucket") -> "StrainIndex":
+                        layout: str | None = None) -> "StrainIndex":
         """Build from the full (with duplicates) genome-scan code stream.
 
-        layout='bucket' (default, single-gather lookup) or 'cuckoo'
-        (plane pair; used by the index-sharded multi-chip engine).
+        layout='bucket' (single-gather lookup; TPU default) or 'cuckoo'
+        (plane pair; CPU default, and used by the index-sharded
+        multi-chip engine).  None picks per backend.
         """
+        if layout is None:
+            from strainer2_tpu.pipeline.engine import default_layout
+
+            layout = default_layout()
         if scan_codes.size == 0:
             raise ValueError("no valid k-mers found in genome")
         uniq, first_idx, counts = np.unique(
@@ -105,7 +116,7 @@ class StrainIndex:
                    row_len: int = DEFAULT_ROW_LEN) -> "StrainIndex":
         return cls.from_scan_codes(
             scan_file_codes(path, engine, rows, row_len), k=engine.k,
-            layout=getattr(engine, "layout", "bucket"),
+            layout=getattr(engine, "layout", None),
         )
 
     @property

@@ -65,6 +65,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
             ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.s2_open_scan.restype = ctypes.c_void_p
+        lib.s2_open_scan.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.s2_scan_next.restype = ctypes.c_longlong
+        lib.s2_scan_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong]
+        lib.s2_close_scan.argtypes = [ctypes.c_void_p]
         lib.s2_format_scrub_rows.restype = ctypes.c_longlong
         lib.s2_format_scrub_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong] + [ctypes.c_void_p] * 5 + [
@@ -193,3 +198,25 @@ class NativePackStream:
         if self._s:
             self._lib.s2_close_pack_stream(self._s)
             self._s = None
+
+
+def scan_file_codes_native(path: str, k: int, chunk: int = 4 << 20) -> np.ndarray | None:
+    """All valid canonical codes of a FASTA/FASTQ file in scan order
+    (native rolling scanner); None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    s = lib.s2_open_scan(path.encode(), k)
+    chunks = []
+    try:
+        while True:
+            buf = np.empty(chunk, dtype=np.uint64)
+            n = lib.s2_scan_next(s, buf.ctypes.data, chunk)
+            if n <= 0:
+                break
+            chunks.append(buf[:n].copy())
+    finally:
+        lib.s2_close_scan(s)
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(chunks)

@@ -564,3 +564,83 @@ long long s2_format_scrub_rows(char* buf, long long cap, const uint64_t* codes,
 }
 
 }  // extern "C"
+
+// ---- streaming canonical k-mer scanner (index-build host path) -------------
+//
+// Rolling canonical extraction over a FASTA/FASTQ file: fwd/rc codes update
+// in O(1) per base (the reference's per-window string rebuild, e.g.
+// src/genome_compare.c:1000-1023, becomes two shifts), canonical = max.
+
+extern "C" {
+
+struct ScanStream {
+  FastxReader* reader;
+  int k;
+  std::vector<uint8_t> seq;
+  size_t pos = 0;       // next base index within seq
+  bool have_seq = false;
+  uint64_t fwd = 0, rc = 0;
+  int run = 0;          // consecutive valid bases ending at pos-1
+  bool done = false;
+};
+
+void* s2_open_scan(const char* path, int k) {
+  auto* s = new ScanStream();
+  s->reader = new FastxReader(path);
+  s->k = k;
+  if (!s->reader->ok()) s->done = true;
+  return s;
+}
+
+// Fill out[0..cap) with canonical codes in scan order; returns count
+// (0 = end of stream).
+long long s2_scan_next(void* stream, uint64_t* out, long long cap) {
+  auto* s = static_cast<ScanStream*>(stream);
+  if (s->done) return 0;
+  const int k = s->k;
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const int rc_shift = 2 * (k - 1);
+  long long n = 0;
+  while (n < cap) {
+    if (!s->have_seq || s->pos >= s->seq.size()) {
+      if (!s->reader->next(&s->seq)) {
+        s->done = true;
+        break;
+      }
+      s->have_seq = true;
+      s->pos = 0;
+      s->fwd = s->rc = 0;
+      s->run = 0;
+    }
+    const uint8_t* bases = s->seq.data();
+    const size_t len = s->seq.size();
+    size_t i = s->pos;
+    uint64_t fwd = s->fwd, rc = s->rc;
+    int run = s->run;
+    while (i < len && n < cap) {
+      uint8_t b = bases[i++];
+      if (b > 3) {
+        run = 0;
+        continue;
+      }
+      fwd = ((fwd << 2) | b) & mask;
+      rc = (rc >> 2) | ((uint64_t)(3 - b) << rc_shift);
+      if (++run >= k) {
+        out[n++] = fwd >= rc ? fwd : rc;
+      }
+    }
+    s->pos = i;
+    s->fwd = fwd;
+    s->rc = rc;
+    s->run = run;
+  }
+  return n;
+}
+
+void s2_close_scan(void* stream) {
+  auto* s = static_cast<ScanStream*>(stream);
+  delete s->reader;
+  delete s;
+}
+
+}  // extern "C"

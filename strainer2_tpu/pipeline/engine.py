@@ -18,7 +18,16 @@ from strainer2_tpu.io.batches import PackedBatch
 from strainer2_tpu.ops.lookup import accumulate_counts, bucket_lookup, cuckoo_lookup
 from strainer2_tpu.ops.packing import canonical_windows, merge_code64_np
 
-__all__ = ["KmerEngine"]
+__all__ = ["KmerEngine", "default_layout"]
+
+
+def default_layout() -> str:
+    """Bucket rows win on TPU (serialized random access dominates, wide
+    slices are free); the cuckoo plane pair wins on CPU where gathers
+    vectorize and the 16x row traffic is real cost."""
+    import jax
+
+    return "bucket" if jax.default_backend() == "tpu" else "cuckoo"
 
 
 class KmerEngine:
@@ -27,10 +36,11 @@ class KmerEngine:
     layout='cuckoo': two-probe plane-pair table (used by the sharded
     engine, where the table is split across an index mesh axis)."""
 
-    def __init__(self, k: int, max_reads: int | None = None, layout: str = "bucket"):
+    def __init__(self, k: int, max_reads: int | None = None, layout: str | None = None):
         self.k = k
         self.max_reads = max_reads
-        self.layout = layout
+        self.layout = layout or default_layout()
+        layout = self.layout
         bucket = layout == "bucket"
         self._extract = jax.jit(partial(_extract, k=k))
         self._count = jax.jit(

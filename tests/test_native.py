@@ -153,3 +153,21 @@ def test_native_format_scrub_rows():
         f"{s}\t{a}\t{b}\t{c}\t{d}\n" for s, a, b, c, d in zip(kmers, c0, c1, c2, c3)
     ).encode()
     assert native.format_scrub_rows(codes, c0, c1, c2, c3, K) == expect5
+
+
+def test_native_scan_matches_numpy(tmp_path):
+    from strainer2_tpu.native import scan_file_codes_native
+    from strainer2_tpu.ops.packing import canonical_codes_np
+
+    rng = np.random.default_rng(5)
+    seqs = [random_dna(rng, int(rng.integers(10, 400)), n_prob=0.03) for _ in range(40)]
+    fa = tmp_path / "g.fa.gz"
+    with gzip.open(fa, "wt") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">c{i}\n{s}\n")
+    nat = scan_file_codes_native(str(fa), K)
+    expect = []
+    for s in seqs:
+        cc, vv = canonical_codes_np(seq_to_base_codes(s), K)
+        expect.extend(cc[vv].tolist())
+    np.testing.assert_array_equal(nat, np.asarray(expect, dtype=np.uint64))
