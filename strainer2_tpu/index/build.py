@@ -99,12 +99,18 @@ class StrainIndex:
             layout = default_layout()
         if scan_codes.size == 0:
             raise ValueError("no valid k-mers found in genome")
-        uniq, first_idx, counts = np.unique(
-            scan_codes, return_index=True, return_counts=True
-        )
-        order = np.argsort(first_idx, kind="stable")
-        codes = uniq[order]
-        genome_counts = counts[order].astype(np.uint32)
+        from strainer2_tpu.native import unique_encounter_native
+
+        native = unique_encounter_native(scan_codes)
+        if native is not None:
+            codes, genome_counts = native
+        else:
+            uniq, first_idx, counts = np.unique(
+                scan_codes, return_index=True, return_counts=True
+            )
+            order = np.argsort(first_idx, kind="stable")
+            codes = uniq[order]
+            genome_counts = counts[order].astype(np.uint32)
         if layout == "bucket":
             table = build_bucket_table(codes, k)
         else:

@@ -70,6 +70,10 @@ def _load():
         lib.s2_scan_next.restype = ctypes.c_longlong
         lib.s2_scan_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong]
         lib.s2_close_scan.argtypes = [ctypes.c_void_p]
+        lib.s2_unique_encounter.restype = ctypes.c_longlong
+        lib.s2_unique_encounter.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.s2_format_scrub_rows.restype = ctypes.c_longlong
         lib.s2_format_scrub_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong] + [ctypes.c_void_p] * 5 + [
@@ -220,3 +224,17 @@ def scan_file_codes_native(path: str, k: int, chunk: int = 4 << 20) -> np.ndarra
     if not chunks:
         return np.empty(0, dtype=np.uint64)
     return np.concatenate(chunks)
+
+
+def unique_encounter_native(codes: np.ndarray):
+    """(unique codes in first-encounter order, occurrence counts) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    out_codes = np.empty(codes.shape[0], dtype=np.uint64)
+    out_counts = np.empty(codes.shape[0], dtype=np.uint32)
+    m = lib.s2_unique_encounter(
+        codes.ctypes.data, codes.shape[0], out_codes.ctypes.data, out_counts.ctypes.data
+    )
+    return out_codes[:m].copy(), out_counts[:m].copy()

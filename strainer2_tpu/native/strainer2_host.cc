@@ -644,3 +644,50 @@ void s2_close_scan(void* stream) {
 }
 
 }  // extern "C"
+
+// ---- first-encounter-ordered unique (index build) --------------------------
+
+#include <algorithm>
+
+extern "C" {
+
+// out_codes/out_counts must have capacity n.  Returns the number of unique
+// codes, emitted in order of their first occurrence in the scan.
+long long s2_unique_encounter(const uint64_t* codes, long long n,
+                              uint64_t* out_codes, uint32_t* out_counts) {
+  if (n == 0) return 0;
+  std::vector<int64_t> idx((size_t)n);
+  for (long long i = 0; i < n; ++i) idx[(size_t)i] = i;
+  std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+    return codes[a] != codes[b] ? codes[a] < codes[b] : a < b;
+  });
+  struct Group { int64_t first; uint64_t code; uint32_t count; };
+  std::vector<Group> groups;
+  groups.reserve((size_t)n / 2);
+  uint64_t cur = codes[idx[0]];
+  int64_t first = idx[0];
+  uint32_t count = 1;
+  for (long long i = 1; i < n; ++i) {
+    uint64_t c = codes[idx[(size_t)i]];
+    if (c == cur) {
+      ++count;
+      if (idx[(size_t)i] < first) first = idx[(size_t)i];
+    } else {
+      groups.push_back({first, cur, count});
+      cur = c;
+      first = idx[(size_t)i];
+      count = 1;
+    }
+  }
+  groups.push_back({first, cur, count});
+  std::sort(groups.begin(), groups.end(),
+            [](const Group& a, const Group& b) { return a.first < b.first; });
+  long long m = (long long)groups.size();
+  for (long long i = 0; i < m; ++i) {
+    out_codes[i] = groups[(size_t)i].code;
+    out_counts[i] = groups[(size_t)i].count;
+  }
+  return m;
+}
+
+}  // extern "C"

@@ -110,32 +110,51 @@ class StrainDetector:
         return out.astype(np.int64)
 
     def _mark_scrubbed(self, a_file: str) -> int:
+        """Mark the -a file's k-mers informative (vectorized over all
+        lines; diagnostics stay in line order as the reference prints them,
+        reference src/strain_detect.c:687-716)."""
         k = self.cfg.k
-        n_marked = 0
+        lines: list[bytes] = []
         with open_maybe_gzip(a_file) as f:
             for raw in f:
-                if raw.startswith(b"#"):
-                    continue
-                line = raw.rstrip(b"\n")
-                if len(line) != k:
-                    self.stdout.write(
-                        "error string length in the scrubbed kmer file (%s) must be the "
-                        "same size as the kmer length (scrubbed kmer, scrubbed kmer len, "
-                        "seed len): %s, %d, %d\n"
-                        % (a_file, line.decode("ascii", "replace"), len(line), k)
-                    )
-                    continue
-                codes = encode_ascii_np(np.frombuffer(line, dtype=np.uint8))
-                ccodes, valid = canonical_codes_np(codes, k)
-                idx = self._key_pos(ccodes[:1])[0] if valid[0] else -1
-                if idx >= 0:
-                    self.kmer_type[idx] = INFORMATIVE_KMER
-                    n_marked += 1
-                else:
-                    self.stdout.write(
-                        "error could not find informative kmer %s in the total kmer list\n"
-                        % line.decode("ascii", "replace")
-                    )
+                if not raw.startswith(b"#"):
+                    lines.append(raw.rstrip(b"\n"))
+        good = [ln for ln in lines if len(ln) == k]
+        idx = np.full(len(good), -1, dtype=np.int64)
+        if good:
+            mat = encode_ascii_np(
+                np.frombuffer(b"".join(good), dtype=np.uint8)
+            ).reshape(len(good), k)
+            valid = (mat < 4).all(axis=1)
+            weights = np.uint64(4) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+            two = (mat & np.uint8(3)).astype(np.uint64)
+            fwd = (two * weights).sum(axis=1, dtype=np.uint64)
+            rc = ((np.uint64(3) - two)[:, ::-1] * weights).sum(axis=1, dtype=np.uint64)
+            ccodes = np.where(fwd >= rc, fwd, rc)
+            found = self._key_pos(ccodes)
+            idx = np.where(valid, found, -1)
+
+        n_marked = 0
+        gi = 0
+        for ln in lines:
+            if len(ln) != k:
+                self.stdout.write(
+                    "error string length in the scrubbed kmer file (%s) must be the "
+                    "same size as the kmer length (scrubbed kmer, scrubbed kmer len, "
+                    "seed len): %s, %d, %d\n"
+                    % (a_file, ln.decode("ascii", "replace"), len(ln), k)
+                )
+                continue
+            key = idx[gi]
+            gi += 1
+            if key >= 0:
+                self.kmer_type[key] = INFORMATIVE_KMER
+                n_marked += 1
+            else:
+                self.stdout.write(
+                    "error could not find informative kmer %s in the total kmer list\n"
+                    % ln.decode("ascii", "replace")
+                )
         return n_marked
 
     # ---- stage 3: background filter ----
