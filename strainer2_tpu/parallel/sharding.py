@@ -87,60 +87,80 @@ class ShardedKmerEngine:
     """
 
     def __init__(self, k: int, mesh: Mesh, h_bits: int, salt: int, num_slots: int,
-                 max_reads: int | None = None):
+                 max_reads: int | None = None, layout: str = "cuckoo"):
         self.k = k
         self.mesh = mesh
         self.h_bits = h_bits
         self.salt = salt
         self.num_slots = num_slots
+        self.layout = layout
         self.n_data = mesh.shape["data"]
         self.n_index = mesh.shape["index"]
         if num_slots % self.n_index:
             raise ValueError("num_slots must divide evenly across the index axis")
         self.shard_rows = num_slots // self.n_index
         self.max_reads = max_reads
+        bucket = layout == "bucket"
+        # bucket layout: shard over whole buckets (16 slots each)
+        self.shard_buckets = self.shard_rows // 16 if bucket else None
 
+        if bucket:
+            count_body = partial(
+                self._count_body_bucket, k=k, h_bits=h_bits, salt=salt,
+                shard_buckets=self.shard_buckets,
+            )
+            count_specs = (P("data", "index"), P("index", None), P("data", None))
+        else:
+            count_body = partial(
+                self._count_body, k=k, h_bits=h_bits, salt=salt,
+                shard_rows=self.shard_rows,
+            )
+            count_specs = (P("data", "index"), P("index"), P("index"), P("data", None))
         self._count = jax.jit(
-            shard_map(
-                partial(
-                    self._count_body,
-                    k=k,
-                    h_bits=h_bits,
-                    salt=salt,
-                    shard_rows=self.shard_rows,
-                ),
-                mesh=mesh,
-                in_specs=(P("data", "index"), P("index"), P("index"), P("data", None)),
-                out_specs=P("data", "index"),
-            ),
+            shard_map(count_body, mesh=mesh, in_specs=count_specs,
+                      out_specs=P("data", "index")),
             donate_argnums=(0,),
         )
         self._merge = jax.jit(
             lambda counts: jnp.sum(counts, axis=0, dtype=counts.dtype)
         )
         if max_reads is not None:
-            self._classify = jax.jit(
-                shard_map(
-                    partial(
-                        self._classify_body,
-                        k=k,
-                        h_bits=h_bits,
-                        salt=salt,
-                        shard_rows=self.shard_rows,
-                        max_reads=max_reads,
-                        n_data=self.n_data,
-                    ),
-                    mesh=mesh,
-                    in_specs=(
-                        P("index"),
-                        P("index"),
-                        P("index"),
-                        P("data", None),
-                        P("data", None),
-                    ),
-                    out_specs=(P("data"), P("data")),
+            if bucket:
+                self._classify = jax.jit(
+                    shard_map(
+                        partial(
+                            self._classify_body_bucket, k=k, h_bits=h_bits,
+                            salt=salt, shard_buckets=self.shard_buckets,
+                            max_reads=max_reads,
+                        ),
+                        mesh=mesh,
+                        in_specs=(P("index", None), P("data", None), P(None)),
+                        out_specs=(P("data"), P("data")),
+                    )
                 )
-            )
+            else:
+                self._classify = jax.jit(
+                    shard_map(
+                        partial(
+                            self._classify_body,
+                            k=k,
+                            h_bits=h_bits,
+                            salt=salt,
+                            shard_rows=self.shard_rows,
+                            max_reads=max_reads,
+                            n_data=self.n_data,
+                        ),
+                        mesh=mesh,
+                        in_specs=(
+                            P("index"),
+                            P("index"),
+                            P("index"),
+                            P("data", None),
+                            P("data", None),
+                        ),
+                        out_specs=(P("data"), P("data")),
+                    )
+                )
 
     # ---- device programs ----
     @staticmethod
@@ -185,6 +205,65 @@ class ShardedKmerEngine:
         # keep them sharded instead: each data shard holds its own partial.
         return total[None, :], informative[None, :]
 
+    @staticmethod
+    def _count_body_bucket(counts_loc, rows_loc, bases_loc, *, k, h_bits, salt,
+                           shard_buckets):
+        from strainer2_tpu.index.hashing import cuckoo_slots as _slots
+
+        win = canonical_windows(bases_loc, k)
+        qhi = win.hi.reshape(-1)
+        qlo = win.lo.reshape(-1)
+        shi = qhi ^ jnp.uint32(salt) if salt else qhi
+        bucket = _slots(shi, qlo, h_bits, 0).astype(jnp.int32)
+        offset = jax.lax.axis_index("index") * shard_buckets
+        local = bucket - offset
+        mine = (local >= 0) & (local < shard_buckets)
+        row = rows_loc[jnp.where(mine, local, 0)]
+        eq = (row[:, 0:16] == qhi[:, None]) & (row[:, 16:32] == qlo[:, None])
+        hit = mine & eq.any(axis=1) & win.valid.reshape(-1)
+        cell = jnp.argmax(eq, axis=1).astype(jnp.int32)
+        slot_loc = jnp.where(mine, local, 0) * jnp.int32(16) + cell
+        tgt = jnp.where(hit, slot_loc, jnp.int32(shard_buckets * 16))
+        return counts_loc.at[0, tgt].add(counts_loc.dtype.type(1), mode="drop")
+
+    @staticmethod
+    def _classify_body_bucket(rows_loc, bases_loc, boundaries, *, k, h_bits, salt,
+                              shard_buckets, max_reads):
+        from strainer2_tpu.index.hashing import cuckoo_slots as _slots
+
+        win = canonical_windows(bases_loc, k)
+        qhi = win.hi.reshape(-1)
+        qlo = win.lo.reshape(-1)
+        shi = qhi ^ jnp.uint32(salt) if salt else qhi
+        bucket = _slots(shi, qlo, h_bits, 0).astype(jnp.int32)
+        offset = jax.lax.axis_index("index") * shard_buckets
+        local = bucket - offset
+        mine = (local >= 0) & (local < shard_buckets)
+        row = rows_loc[jnp.where(mine, local, 0)]
+        eq = (row[:, 0:16] == qhi[:, None]) & (row[:, 16:32] == qlo[:, None])
+        hit = mine & eq.any(axis=1) & win.valid.reshape(-1)
+        meta = jnp.where(
+            hit,
+            jnp.sum(jnp.where(eq, row[:, 32:48], jnp.uint32(0)), axis=1,
+                    dtype=jnp.uint32),
+            0,
+        )
+        # exactly one index shard owns each key: psum reconstructs globals
+        hit_g = jax.lax.psum(hit.astype(jnp.int32), "index")
+        inf_g = jax.lax.psum((meta == 2).astype(jnp.int32), "index")
+
+        # per-read totals via boundary cumsum, restricted to this data
+        # shard's window range; partials sum across 'data' on the host
+        n_local = hit_g.shape[0]
+        off = jax.lax.axis_index("data") * n_local
+        zero = jnp.zeros(1, dtype=jnp.int32)
+        cum_hit = jnp.concatenate([zero, jnp.cumsum(hit_g)])
+        cum_inf = jnp.concatenate([zero, jnp.cumsum(inf_g)])
+        b = jnp.clip(boundaries - off, 0, n_local)
+        tot = cum_hit[b[1:]] - cum_hit[b[:-1]]
+        inf = cum_inf[b[1:]] - cum_inf[b[:-1]]
+        return tot[None, :], inf[None, :]
+
     # ---- host API ----
     def init_counts(self, dtype=jnp.uint32):
         return jax.device_put(
@@ -193,14 +272,21 @@ class ShardedKmerEngine:
         )
 
     def count_batch(self, counts, table, bases):
-        """``table`` is the sharded (t_hi, t_lo) plane pair."""
+        """``table``: sharded (num_buckets, 64) rows for bucket layout, or
+        the sharded (t_hi, t_lo) plane pair for cuckoo."""
+        if self.layout == "bucket":
+            return self._count(counts, table, bases)
         return self._count(counts, table[0], table[1], bases)
 
     def merge_counts(self, counts) -> np.ndarray:
         """Collapse the data axis; bit-identical to single-chip counting."""
         return np.asarray(self._merge(counts))
 
-    def classify_batch(self, table, meta, bases, read_id):
-        """Returns per-data-shard (total, informative) partial sums of shape
-        (n_data, max_reads+1); sum axis 0 to get per-read counts."""
-        return self._classify(table[0], table[1], meta, bases, read_id)
+    def classify_batch(self, table, meta, bases, read_id_or_boundaries):
+        """Returns per-data-shard (total, informative) partials; sum over
+        axis 0 for per-read counts.  bucket layout: pass the with-meta row
+        table and the (max_reads+1,) window boundaries; cuckoo: pass the
+        plane pair, the slot-meta array, and the read-id plane."""
+        if self.layout == "bucket":
+            return self._classify(table, bases, read_id_or_boundaries)
+        return self._classify(table[0], table[1], meta, bases, read_id_or_boundaries)

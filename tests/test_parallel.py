@@ -106,3 +106,56 @@ def test_sharded_classify_matches_single_chip(setup, mesh_shape):
         np.testing.assert_array_equal(
             np.asarray(inf_s).sum(axis=0)[:max_reads], np.asarray(inf1)
         )
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_sharded_bucket_layout_matches_single_chip(setup, mesh_shape):
+    from strainer2_tpu.index.bucket import build_bucket_table
+
+    engine_c, index, batches = setup
+    codes = index.codes
+    tb = build_bucket_table(codes, K)
+    engine_b = KmerEngine(K, max_reads=engine_c.max_reads, layout="bucket")
+
+    # single-chip bucket counting reference
+    rows_dev = jnp.asarray(tb.table)
+    counts1 = jnp.zeros(tb.num_slots, dtype=jnp.uint32)
+    for b in batches:
+        counts1 = engine_b.count_batch(counts1, rows_dev, tb.h_bits, tb.salt, b.bases)
+    expect = np.asarray(counts1)[tb.slot_of_key]
+
+    mesh = make_mesh(*mesh_shape)
+    sharded = ShardedKmerEngine(
+        K, mesh, tb.h_bits, tb.salt, tb.num_slots, max_reads=engine_b.max_reads,
+        layout="bucket",
+    )
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("index", None)
+    )
+    rows_sh = jax.device_put(jnp.asarray(tb.table), spec)
+    counts = sharded.init_counts()
+    for b in batches:
+        counts = sharded.count_batch(counts, rows_sh, b.bases)
+    got = sharded.merge_counts(counts)[tb.slot_of_key]
+    np.testing.assert_array_equal(got, expect)
+
+    # classify: meta lanes baked into rows
+    kmer_type = np.full(codes.size, 1, np.uint32)
+    kmer_type[::3] = 2
+    meta_slots = np.zeros(tb.num_slots, np.uint32)
+    meta_slots[tb.slot_of_key] = kmer_type
+    rows_meta = tb.with_meta(meta_slots)
+    rows_meta_dev = jnp.asarray(rows_meta)
+    rows_meta_sh = jax.device_put(jnp.asarray(rows_meta), spec)
+    n_windows = ROWS * (ROW_LEN - K + 1)
+    for b in batches:
+        boundaries = np.full(engine_b.max_reads + 1, n_windows, dtype=np.int32)
+        boundaries[: b.n_reads] = b.window_starts
+        tot1, inf1 = engine_b.classify_batch(
+            rows_meta_dev, None, tb.h_bits, tb.salt, b.bases, boundaries
+        )
+        tot_s, inf_s = sharded.classify_batch(
+            rows_meta_sh, None, b.bases, jnp.asarray(boundaries)
+        )
+        np.testing.assert_array_equal(np.asarray(tot_s).sum(axis=0), np.asarray(tot1))
+        np.testing.assert_array_equal(np.asarray(inf_s).sum(axis=0), np.asarray(inf1))
