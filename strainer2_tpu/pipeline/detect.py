@@ -87,12 +87,15 @@ class StrainDetector:
                  stdout: IO | None = None):
         self.cfg = cfg or DetectConfig()
         self.stdout = stdout if stdout is not None else sys.stdout
+        from strainer2_tpu.utils.observability import stage
+
         self.engine = KmerEngine(
             self.cfg.k, max_reads_capacity(self.cfg.k, self.cfg.rows, self.cfg.row_len)
         )
-        self.index = StrainIndex.from_fasta(
-            r_file, self.engine, self.cfg.rows, self.cfg.row_len
-        )
+        with stage("detect.index_build"):
+            self.index = StrainIndex.from_fasta(
+                r_file, self.engine, self.cfg.rows, self.cfg.row_len
+            )
         # per-key k-mer class; genome k-mers start NON_INFORMATIVE
         self.kmer_type = np.full(self.index.num_kmers, NON_INFORMATIVE_KMER, np.uint32)
         self._sorted_order = np.argsort(self.index.codes, kind="stable")

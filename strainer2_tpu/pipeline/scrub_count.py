@@ -78,6 +78,7 @@ def count_panel_file(
 ):
     """Stream one panel file through the counting kernel."""
     from strainer2_tpu import native
+    from strainer2_tpu.utils.observability import stage
 
     table = index.device_table()
     t = index.table
@@ -86,8 +87,15 @@ def count_panel_file(
     else:
         seqs = (rec.seq for rec in read_fastx(path))
         stream = pack_stream(seqs, engine.k, rows=rows, row_len=row_len)
-    for batch in stream:
-        counts = engine.count_batch(counts, table, t.h_bits, t.salt, batch.bases)
+    windows_per_batch = rows * (row_len - engine.k + 1)
+    n = 0
+    with stage("scrub.panel_lookups"):
+        for batch in stream:
+            counts = engine.count_batch(counts, table, t.h_bits, t.salt, batch.bases)
+            n += windows_per_batch
+    from strainer2_tpu.utils import observability as _obs
+
+    _obs._items["scrub.panel_lookups"] += n
     return counts
 
 
@@ -153,8 +161,11 @@ def run_scrub_count(
     out = out if out is not None else sys.stdout
     engine = KmerEngine(cfg.k)
 
+    from strainer2_tpu.utils.observability import stage
+
     if index is None:
-        index = StrainIndex.from_fasta(r_file, engine, cfg.rows, cfg.row_len)
+        with stage("scrub.index_build"):
+            index = StrainIndex.from_fasta(r_file, engine, cfg.rows, cfg.row_len)
 
     ckpt = None
     if checkpoint_dir:
@@ -173,14 +184,15 @@ def run_scrub_count(
         else None
     )
 
-    write_scrub_table(
-        out,
-        index,
-        col_pan,
-        col_meta,
-        col_drug,
-        reference_order=cfg.reference_order,
-    )
+    with stage("scrub.write_table", items=index.num_kmers):
+        write_scrub_table(
+            out,
+            index,
+            col_pan,
+            col_meta,
+            col_drug,
+            reference_order=cfg.reference_order,
+        )
     return index
 
 
