@@ -31,7 +31,7 @@ import numpy as np
 from strainer2_tpu.constants import INVALID_BASE
 from strainer2_tpu.ops.packing import encode_ascii_np
 
-__all__ = ["PackedBatch", "pack_stream", "DEFAULT_ROWS", "DEFAULT_ROW_LEN"]
+__all__ = ["PackedBatch", "pack_stream", "read_codes_from_batch", "batch_read_grouping", "DEFAULT_ROWS", "DEFAULT_ROW_LEN"]
 
 DEFAULT_ROWS = 256
 DEFAULT_ROW_LEN = 4096
@@ -217,3 +217,40 @@ def pack_stream(
     batch = packer.emit()
     if batch is not None:
         yield batch
+
+
+def batch_read_grouping(batch: PackedBatch):
+    """Precompute per-read position lists for :func:`read_codes_from_batch`.
+
+    One stable argsort of the read-id plane; positions stay in row-major
+    (scan) order within each read.
+    """
+    flat = batch.read_id.reshape(-1)
+    order = np.argsort(flat, kind="stable").astype(np.int64)
+    sorted_ids = flat[order]
+    return order, sorted_ids
+
+
+def read_codes_from_batch(batch: PackedBatch, rid: int, k: int, grouping=None) -> np.ndarray:
+    """Reconstruct one read's encoded bases from the packed buffer.
+
+    Rows continuing a split read re-emit a k-1 base halo; those duplicate
+    positions are dropped so the result equals the original encoded read.
+    Used to re-scan the rare reads that pass detection thresholds without
+    retaining every raw read on the host.
+    """
+    if grouping is None:
+        grouping = batch_read_grouping(batch)
+    order, sorted_ids = grouping
+    lo = int(np.searchsorted(sorted_ids, rid))
+    hi = int(np.searchsorted(sorted_ids, rid, side="right"))
+    pos = order[lo:hi]
+    bases = batch.bases.reshape(-1)[pos]
+    rows = pos // batch.bases.shape[1]
+    transitions = np.flatnonzero(np.diff(rows)) + 1
+    if transitions.size:
+        keep = np.ones(pos.size, dtype=bool)
+        for s in transitions.tolist():
+            keep[s : s + k - 1] = False
+        bases = bases[keep]
+    return bases

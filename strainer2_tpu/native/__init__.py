@@ -51,7 +51,7 @@ def _load():
             ctypes.c_int, ctypes.c_longlong,
         ]
         lib.s2_next_batch.restype = ctypes.c_longlong
-        lib.s2_next_batch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+        lib.s2_next_batch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
         lib.s2_stream_error.restype = ctypes.c_int
         lib.s2_stream_error.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
         lib.s2_close_pack_stream.argtypes = [ctypes.c_void_p]
@@ -178,8 +178,14 @@ class NativePackStream:
                     else np.empty((1, 1), dtype=np.int32)
                 )
                 lengths = np.empty(self._max_reads_cap + self.rows, dtype=np.int64)
+                wstarts = (
+                    np.empty(self._max_reads_cap + self.rows, dtype=np.int64)
+                    if self.with_read_ids
+                    else np.empty(1, dtype=np.int64)
+                )
                 n = self._lib.s2_next_batch(
-                    self._s, bases.ctypes.data, ids.ctypes.data, lengths.ctypes.data
+                    self._s, bases.ctypes.data, ids.ctypes.data,
+                    lengths.ctypes.data, wstarts.ctypes.data,
                 )
                 if n < 0:
                     buf = ctypes.create_string_buffer(4096)
@@ -194,6 +200,7 @@ class NativePackStream:
                     read_id=ids if self.with_read_ids else None,
                     n_reads=int(n),
                     read_lengths=lengths[:n].copy(),
+                    window_starts=wstarts[:n].copy() if self.with_read_ids else None,
                 )
         finally:
             self.close()

@@ -196,6 +196,7 @@ struct PackStream {
   uint8_t* bases = nullptr;
   int32_t* ids = nullptr;
   int64_t* lengths = nullptr;
+  int64_t* win_starts = nullptr;
   int row = 0, col = 0;
   int64_t n_reads = 0;
   bool batch_has_data = false;
@@ -252,7 +253,15 @@ int64_t capacity_left(const PackStream* s) {
 bool place_read(PackStream* s, const std::vector<uint8_t>& codes, int64_t rid,
                 size_t* resume_pos) {
   int64_t n = (int64_t)codes.size();
-  if (n < s->k) return true;  // no windows; stats only
+  const int64_t width = s->row_len - s->k + 1;
+  if (n < s->k) {
+    // no windows; boundary collapses onto the next read's span
+    if (s->win_starts) {
+      int64_t c = s->col < width ? s->col : width;
+      s->win_starts[rid] = (int64_t)s->row * width + c;
+    }
+    return true;
+  }
   size_t pos = *resume_pos;
   bool first = (pos == 0);
   while ((int64_t)pos < n) {
@@ -264,7 +273,11 @@ bool place_read(PackStream* s, const std::vector<uint8_t>& codes, int64_t rid,
       *resume_pos = pos;
       return false;  // buffer full mid-read
     }
-    if (!first) pos -= (size_t)(s->k - 1);  // halo
+    if (!first) {
+      pos -= (size_t)(s->k - 1);  // halo
+    } else if (s->win_starts) {
+      s->win_starts[rid] = (int64_t)s->row * width + s->col;
+    }
     first = false;
     int64_t take = n - (int64_t)pos;
     int64_t room = s->row_len - s->col;
@@ -289,10 +302,12 @@ bool place_read(PackStream* s, const std::vector<uint8_t>& codes, int64_t rid,
   return true;
 }
 
-void reset_buffer(PackStream* s, uint8_t* bases, int32_t* ids, int64_t* lengths) {
+void reset_buffer(PackStream* s, uint8_t* bases, int32_t* ids, int64_t* lengths,
+                  int64_t* win_starts) {
   s->bases = bases;
   s->ids = ids;
   s->lengths = lengths;
+  s->win_starts = win_starts;
   memset(bases, kInvalidBase, (size_t)s->rows * s->row_len);
   if (ids) {
     int64_t total = (int64_t)s->rows * s->row_len;
@@ -339,10 +354,11 @@ void* s2_open_pack_stream(const char** paths, int n_paths, int mode, int k,
 // Returns: n_reads > 0, 0 = end of stream, -1 = I/O error, -2 = read too
 // large for a read-id (detection) buffer.
 long long s2_next_batch(void* stream, uint8_t* bases, int32_t* read_ids,
-                        int64_t* read_lengths) {
+                        int64_t* read_lengths, int64_t* window_starts) {
   auto* s = static_cast<PackStream*>(stream);
   if (s->io_error) return -1;
-  reset_buffer(s, bases, s->with_read_ids ? read_ids : nullptr, read_lengths);
+  reset_buffer(s, bases, s->with_read_ids ? read_ids : nullptr, read_lengths,
+               s->with_read_ids ? window_starts : nullptr);
 
   // carry-over group from the previous emit
   auto take_group = [&](std::vector<std::vector<uint8_t>>& gr) -> int {
@@ -405,7 +421,9 @@ long long s2_next_batch(void* stream, uint8_t* bases, int32_t* read_ids,
     if (rc == -2) return -2;
     s->group.clear();
   }
-  if (s->io_error && s->mode == 1) return -1;
+  // PE2-ended-early: emit the completed pairs first; the error surfaces
+  // on the next call (entry check)
+  if (s->io_error && s->mode == 1 && s->n_reads == 0) return -1;
   return s->n_reads;  // may be 0 == end
 }
 

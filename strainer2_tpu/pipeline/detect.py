@@ -288,35 +288,63 @@ class StrainDetector:
             for rec in read_fastx(f1):
                 yield rec.seq
 
+    def _batch_stream(self, f1: str, f2: str | None, ftype: int):
+        """Packed batches for one sample: native C++ reader/packer when
+        built, Python twin otherwise."""
+        from strainer2_tpu import native
+
+        cfg = self.cfg
+        group = 2 if ftype != NOT_PAIRED_END else 1
+        if native.available():
+            if ftype == IS_PAIRED_END:
+                paths, mode = [f1, f2], 1
+            else:
+                paths, mode = [f1], 0
+            return native.NativePackStream(
+                paths, cfg.k, cfg.rows, cfg.row_len, mode=mode,
+                with_read_ids=True, group_size=group,
+                max_reads=self.engine.max_reads,
+            )
+        seqs = (
+            encode_ascii_np(np.frombuffer(s, dtype=np.uint8))
+            for s in self._read_stream(f1, f2, ftype)
+        )
+        return pack_stream(
+            seqs, cfg.k, rows=cfg.rows, row_len=cfg.row_len,
+            with_read_ids=True, group_size=group,
+        )
+
     def _quantify_sample(self, f1: str, f2: str | None, ftype: int, out: IO) -> None:
+        from strainer2_tpu.io.batches import batch_read_grouping, read_codes_from_batch
+
         cfg = self.cfg
         k = cfg.k
         paired = ftype != NOT_PAIRED_END
-        group = 2 if paired else 1
         t = self.index.table
 
         total_kmers_evaluated = 0
         total_reads_evaluated = 0
 
-        raw_reads: list[np.ndarray] = []
-
-        def encoding_stream():
-            for seq in self._read_stream(f1, f2, ftype):
-                codes = encode_ascii_np(np.frombuffer(seq, dtype=np.uint8))
-                raw_reads.append(codes)
-                yield codes
-
         odd_interleave = False
         n_windows = cfg.rows * (cfg.row_len - k + 1)
         max_reads = self.engine.max_reads
-        for batch in pack_stream(
-            encoding_stream(),
-            k,
-            rows=cfg.rows,
-            row_len=cfg.row_len,
-            with_read_ids=True,
-            group_size=group,
-        ):
+        try:
+            stream = iter(self._batch_stream(f1, f2, ftype))
+        except IOError:
+            stream = iter(())
+        while True:
+            try:
+                batch = next(stream)
+            except StopIteration:
+                break
+            except IOError:
+                # native PE stream: PE2 ended before PE1
+                print(
+                    f"reached end of PE2 ({f2}) before end of PE1 ({f1}), "
+                    "check that file names are correct",
+                    file=sys.stderr,
+                )
+                raise SystemExit(1)
             n = batch.n_reads
             boundaries = np.full(max_reads + 1, n_windows, dtype=np.int32)
             boundaries[:n] = batch.window_starts
@@ -346,13 +374,16 @@ class StrainDetector:
             passing = ((t1 + t2) >= cfg.min_hits_for_good_match) & (
                 (i1 + i2) >= cfg.min_hits_for_informative_read
             )
-            for j in np.flatnonzero(passing):
-                r1 = pe1[j]
+            pass_idx = np.flatnonzero(passing)
+            grouping = batch_read_grouping(batch) if pass_idx.size else None
+            for j in pass_idx:
+                r1 = int(pe1[j])
                 prefix = f"{f1}\t{t1[j]}\t{i1[j]}\t{t2[j]}\t{i2[j]}\t"
-                self._emit_rows(out, prefix, raw_reads[r1])
+                self._emit_rows(out, prefix, read_codes_from_batch(batch, r1, k, grouping))
                 if paired:
-                    self._emit_rows(out, prefix, raw_reads[r1 + 1])
-            del raw_reads[:n]  # keep any lookahead reads queued for the next batch
+                    self._emit_rows(
+                        out, prefix, read_codes_from_batch(batch, r1 + 1, k, grouping)
+                    )
 
         if odd_interleave:
             print(

@@ -130,3 +130,13 @@ def test_coverage_depth_parity(tmp_path, kwargs, golden):
     out = _Out()
     run_coverage_depth(hits_gz, out=out, **kwargs)
     assert out.bytes() == expected(golden)
+
+
+def test_detect_python_fallback_path_parity(tmp_path, monkeypatch):
+    """Detection parity with the native library disabled (pure-Python
+    reader/packer path)."""
+    import strainer2_tpu.native as native
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    _detect(tmp_path, "kmer_hits.txt", "detect_stdout.txt", batch_list="data/targets.txt")
