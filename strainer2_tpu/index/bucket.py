@@ -70,9 +70,19 @@ def build_bucket_table(codes: np.ndarray, k: int, h_bits: int | None = None) -> 
         # mean bucket load ~<= 3.3 => overflow probability ~1e-8 per bucket
         h_bits = max(4, int(np.ceil(np.log2(max(n, 1) / 3.3))))
 
+    from strainer2_tpu.native import build_bucket_native
+
     hi, lo = split_code64_np(codes, k)
     for attempt in range(_MAX_SALT_ATTEMPTS):
         salt = attempt * 0x9E3779B9 & 0xFFFFFFFF
+        native = build_bucket_native(codes, k, h_bits, salt)
+        if native is not None:
+            if native == "retry":
+                if attempt % 4 == 3:
+                    h_bits += 1
+                continue
+            table, slot_of_key = native
+            return BucketTable(table, slot_of_key, h_bits, salt)
         shi = hi ^ np.uint32(salt) if salt else hi
         bucket = cuckoo_slots(shi, lo, h_bits, 0).astype(np.int64)
         per_bucket = np.bincount(bucket, minlength=1 << h_bits)

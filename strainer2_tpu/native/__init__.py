@@ -70,6 +70,11 @@ def _load():
         lib.s2_scan_next.restype = ctypes.c_longlong
         lib.s2_scan_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong]
         lib.s2_close_scan.argtypes = [ctypes.c_void_p]
+        lib.s2_build_bucket.restype = ctypes.c_int
+        lib.s2_build_bucket.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.s2_unique_encounter.restype = ctypes.c_longlong
         lib.s2_unique_encounter.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
@@ -245,3 +250,21 @@ def unique_encounter_native(codes: np.ndarray):
         codes.ctypes.data, codes.shape[0], out_codes.ctypes.data, out_counts.ctypes.data
     )
     return out_codes[:m].copy(), out_counts[:m].copy()
+
+
+def build_bucket_native(codes: np.ndarray, k: int, h_bits: int, salt: int):
+    """(table (2**h_bits, 64) uint32, slot_of_key int32), "retry" on bucket
+    overflow, or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    table = np.empty(((1 << h_bits), 64), dtype=np.uint32)
+    slot_of_key = np.empty(codes.shape[0], dtype=np.int32)
+    rc = lib.s2_build_bucket(
+        codes.ctypes.data, codes.shape[0], k, h_bits, salt,
+        table.ctypes.data, slot_of_key.ctypes.data,
+    )
+    if rc != 0:
+        return "retry"
+    return table, slot_of_key

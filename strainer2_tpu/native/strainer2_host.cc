@@ -518,19 +518,19 @@ int s2_build_cuckoo(const uint64_t* codes, long long n, int k, int h_bits,
   const int n_lo = k < 16 ? k : 16;
   std::vector<long long> key_at_slot((size_t)(2 * h), -1);
 
-  auto slots_of = [&](long long i, long long* s0, long long* s1) {
+  // precompute both candidate slots per key in one streaming pass
+  std::vector<int32_t> s0v((size_t)n), s1v((size_t)n);
+  for (long long i = 0; i < n; ++i) {
     uint64_t code = codes[i];
     uint32_t lo = (uint32_t)(code & ((2 * n_lo < 64) ? ((1ULL << (2 * n_lo)) - 1) : ~0ULL));
-    uint32_t hi = (uint32_t)(code >> (2 * n_lo));
-    hi ^= salt;
-    *s0 = cuckoo_slot(hi, lo, h_bits, 0);
-    *s1 = (long long)cuckoo_slot(hi, lo, h_bits, 1) + h;
-  };
+    uint32_t hi = (uint32_t)(code >> (2 * n_lo)) ^ salt;
+    s0v[(size_t)i] = (int32_t)cuckoo_slot(hi, lo, h_bits, 0);
+    s1v[(size_t)i] = (int32_t)(cuckoo_slot(hi, lo, h_bits, 1) + h);
+  }
 
   for (long long i = 0; i < n; ++i) {
     long long cur = i;
-    long long s0, s1;
-    slots_of(cur, &s0, &s1);
+    long long s0 = s0v[(size_t)i], s1 = s1v[(size_t)i];
     long long target = key_at_slot[(size_t)s0] < 0 ? s0
                        : key_at_slot[(size_t)s1] < 0 ? s1
                                                      : s0;
@@ -542,7 +542,8 @@ int s2_build_cuckoo(const uint64_t* codes, long long n, int k, int h_bits,
       if (displaced < 0) break;
       if (++steps > 500) return -1;
       cur = displaced;
-      slots_of(cur, &s0, &s1);
+      s0 = s0v[(size_t)cur];
+      s1 = s1v[(size_t)cur];
       target = (slot_of_key[cur] == (int32_t)s0) ? s1 : s0;
     }
   }
@@ -674,26 +675,24 @@ extern "C" {
 long long s2_unique_encounter(const uint64_t* codes, long long n,
                               uint64_t* out_codes, uint32_t* out_counts) {
   if (n == 0) return 0;
-  std::vector<int64_t> idx((size_t)n);
-  for (long long i = 0; i < n; ++i) idx[(size_t)i] = i;
-  std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
-    return codes[a] != codes[b] ? codes[a] < codes[b] : a < b;
-  });
+  // sort (code, index) pairs by value for cache locality; index as
+  // secondary key makes the group head the first-encounter position
+  std::vector<std::pair<uint64_t, int64_t>> pairs((size_t)n);
+  for (long long i = 0; i < n; ++i) pairs[(size_t)i] = {codes[i], i};
+  std::sort(pairs.begin(), pairs.end());
   struct Group { int64_t first; uint64_t code; uint32_t count; };
   std::vector<Group> groups;
   groups.reserve((size_t)n / 2);
-  uint64_t cur = codes[idx[0]];
-  int64_t first = idx[0];
+  uint64_t cur = pairs[0].first;
+  int64_t first = pairs[0].second;
   uint32_t count = 1;
   for (long long i = 1; i < n; ++i) {
-    uint64_t c = codes[idx[(size_t)i]];
-    if (c == cur) {
+    if (pairs[(size_t)i].first == cur) {
       ++count;
-      if (idx[(size_t)i] < first) first = idx[(size_t)i];
     } else {
       groups.push_back({first, cur, count});
-      cur = c;
-      first = idx[(size_t)i];
+      cur = pairs[(size_t)i].first;
+      first = pairs[(size_t)i].second;
       count = 1;
     }
   }
@@ -706,6 +705,43 @@ long long s2_unique_encounter(const uint64_t* codes, long long n,
     out_counts[i] = groups[(size_t)i].count;
   }
   return m;
+}
+
+}  // extern "C"
+
+
+// ---- bucketed table construction (single-gather layout) --------------------
+
+extern "C" {
+
+// table: (2**h_bits, 64) uint32 pre-zeroed EXCEPT caller need not init;
+// returns 0 ok, -1 = some bucket overflowed 16 keys (caller retries).
+int s2_build_bucket(const uint64_t* codes, long long n, int k, int h_bits,
+                    uint32_t salt, uint32_t* table, int32_t* slot_of_key) {
+  const long long b_count = 1LL << h_bits;
+  const int n_lo = k < 16 ? k : 16;
+  std::vector<uint8_t> fill((size_t)b_count, 0);
+  // init rows: keys empty (0xFFFFFFFF), meta/pad zero
+  for (long long b = 0; b < b_count; ++b) {
+    uint32_t* row = table + b * 64;
+    for (int j = 0; j < 32; ++j) row[j] = 0xFFFFFFFFu;
+    for (int j = 32; j < 64; ++j) row[j] = 0;
+  }
+  for (long long i = 0; i < n; ++i) {
+    uint64_t code = codes[i];
+    uint32_t lo = (uint32_t)(code & ((2 * n_lo < 64) ? ((1ULL << (2 * n_lo)) - 1) : ~0ULL));
+    uint32_t hi = (uint32_t)(code >> (2 * n_lo));
+    uint32_t shi = hi ^ salt;
+    long long b = cuckoo_slot(shi, lo, h_bits, 0);
+    uint8_t cell = fill[(size_t)b];
+    if (cell >= 16) return -1;
+    fill[(size_t)b] = cell + 1;
+    uint32_t* row = table + b * 64;
+    row[cell] = hi;
+    row[16 + cell] = lo;
+    slot_of_key[i] = (int32_t)(b * 16 + cell);
+  }
+  return 0;
 }
 
 }  // extern "C"
