@@ -25,6 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", dest="write_dist", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--rows", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("--row-len", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--mesh", default=None,
+                   help="DATAxINDEX device mesh for sharded counting (e.g. 4x2)")
     p.add_argument("--checkpoint", dest="checkpoint_dir", default=None,
                    help="directory for restartable counting state (resume skips finished panel files)")
     p.add_argument("--no-reference-order", action="store_true",
@@ -43,6 +45,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.row_len:
         cfg.row_len = args.row_len
     cfg.reference_order = not args.no_reference_order
+    if args.mesh:
+        d, i = args.mesh.lower().split("x")
+        cfg.mesh = (int(d), int(i))
 
     progress = None
     if args.p_file:

@@ -39,7 +39,7 @@ except AttributeError:  # pragma: no cover
 
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["make_mesh", "ShardedKmerEngine"]
+__all__ = ["make_mesh", "ShardedKmerEngine", "ShardedPanelEngine"]
 
 
 def make_mesh(data: int, index: int = 1, devices=None) -> Mesh:
@@ -290,3 +290,66 @@ class ShardedKmerEngine:
         if self.layout == "bucket":
             return self._classify(table, bases, read_id_or_boundaries)
         return self._classify(table[0], table[1], meta, bases, read_id_or_boundaries)
+
+
+class ShardedPanelEngine:
+    """KmerEngine-compatible facade for sharded panel counting, so the
+    scrub pipeline runs unchanged over a (data x index) device mesh.
+
+    Bit-identical to single-device runs (integer count merge).
+    """
+
+    def __init__(self, index, n_data: int, n_index: int, devices=None):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.k = index.k
+        self.layout = index.layout
+        self.mesh = make_mesh(n_data, n_index, devices=devices)
+        t = index.table
+        self._engine = ShardedKmerEngine(
+            index.k, self.mesh, t.h_bits, t.salt, t.num_slots, layout=index.layout
+        )
+        if index.layout == "bucket":
+            spec = NamedSharding(self.mesh, P("index", None))
+            self._table = jax.device_put(jnp.asarray(t.table), spec)
+        else:
+            spec = NamedSharding(self.mesh, P("index"))
+            self._table = (
+                jax.device_put(
+                    jnp.asarray(np.ascontiguousarray(t.table[:, 0])), spec
+                ),
+                jax.device_put(
+                    jnp.asarray(np.ascontiguousarray(t.table[:, 1])), spec
+                ),
+            )
+        self.n_data = n_data
+
+    def table_for(self, index):
+        return self._table
+
+    def init_counts(self, index):
+        return self._engine.init_counts()
+
+    def counts_from_numpy(self, index, counts_np):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        full = np.zeros((self.n_data, counts_np.shape[0]), dtype=counts_np.dtype)
+        full[0] = counts_np
+        return jax.device_put(
+            jnp.asarray(full), NamedSharding(self.mesh, P("data", "index"))
+        )
+
+    def finalize_counts(self, counts) -> np.ndarray:
+        return self._engine.merge_counts(counts)
+
+    def count_batch(self, counts, table, h_bits, salt, bases):
+        # pad rows to a multiple of the data axis
+        r = bases.shape[0]
+        pad = (-r) % self.n_data
+        if pad:
+            bases = np.concatenate(
+                [bases, np.full((pad, bases.shape[1]), 4, dtype=bases.dtype)]
+            )
+        return self._engine.count_batch(counts, table, bases)

@@ -77,6 +77,23 @@ class KmerEngine:
             self.k,
         )
 
+    # ---- counts lifecycle (polymorphic with the sharded engine) ----
+    def table_for(self, index):
+        return index.device_table()
+
+    def init_counts(self, index):
+        import jax.numpy as jnp
+
+        return jnp.zeros(index.table.num_slots, dtype=jnp.uint32)
+
+    def counts_from_numpy(self, index, counts_np):
+        import jax.numpy as jnp
+
+        return jnp.asarray(counts_np)
+
+    def finalize_counts(self, counts) -> np.ndarray:
+        return np.asarray(counts)
+
     # ---- panel counting path (kmer_scrub_count hot loop) ----
     def count_batch(self, counts, table, h_bits: int, salt: int, bases) -> jax.Array:
         """counts[slot] += 1 per hit window; returns updated device counts.

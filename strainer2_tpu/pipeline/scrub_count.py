@@ -49,6 +49,9 @@ class ScrubCountConfig:
     # rows are emitted in first-encounter order (a canonical order of ours;
     # count values identical, order not).
     reference_order: bool = True
+    # (data, index) device-mesh shape for sharded panel counting; None =
+    # single-device engine. Results are bit-identical either way.
+    mesh: tuple[int, int] | None = None
 
 
 def read_list_file(path: str) -> list[str]:
@@ -80,7 +83,7 @@ def count_panel_file(
     from strainer2_tpu import native
     from strainer2_tpu.utils.observability import stage
 
-    table = index.device_table()
+    table = engine.table_for(index)
     t = index.table
     if native.available():
         stream = native.NativePackStream([path], engine.k, rows, row_len)
@@ -120,9 +123,9 @@ def _count_panel(
     counts_np = checkpoint.counts(column) if checkpoint else None
     if counts_np is not None:
         done = Counter(checkpoint.done_files(column))
-        counts = jnp.asarray(counts_np)
+        counts = engine.counts_from_numpy(index, counts_np)
     else:
-        counts = jnp.zeros(index.table.num_slots, dtype=jnp.uint32)
+        counts = engine.init_counts(index)
     if list_path is not None:
         for path in read_list_file(list_path):
             _progress_line(progress, path)
@@ -134,8 +137,8 @@ def _count_panel(
                 continue
             counts = count_panel_file(engine, index, counts, path, cfg.rows, cfg.row_len)
             if checkpoint is not None:
-                checkpoint.record(column, path, np.asarray(counts))
-    return index.key_values(np.asarray(counts))
+                checkpoint.record(column, path, engine.finalize_counts(counts))
+    return index.key_values(engine.finalize_counts(counts))
 
 
 def run_scrub_count(
@@ -166,6 +169,11 @@ def run_scrub_count(
     if index is None:
         with stage("scrub.index_build"):
             index = StrainIndex.from_fasta(r_file, engine, cfg.rows, cfg.row_len)
+
+    if cfg.mesh is not None:
+        from strainer2_tpu.parallel.sharding import ShardedPanelEngine
+
+        engine = ShardedPanelEngine(index, cfg.mesh[0], cfg.mesh[1])
 
     ckpt = None
     if checkpoint_dir:

@@ -140,3 +140,17 @@ def test_detect_python_fallback_path_parity(tmp_path, monkeypatch):
     monkeypatch.setattr(native, "_lib", None)
     monkeypatch.setattr(native, "_tried", True)
     _detect(tmp_path, "kmer_hits.txt", "detect_stdout.txt", batch_list="data/targets.txt")
+
+
+def test_scrub_count_sharded_mesh_parity():
+    """Sharded panel counting over the virtual 8-device mesh produces the
+    byte-identical table."""
+    from strainer2_tpu.pipeline.scrub_count import ScrubCountConfig, run_scrub_count
+
+    out = _Out()
+    cfg = ScrubCountConfig(mesh=(4, 2))
+    run_scrub_count(
+        "data/strainA.fna.gz", "data/genomes.txt", "data/metagenomes.txt",
+        out=out, cfg=cfg,
+    )
+    assert out.bytes() == expected("scrub_counts.tsv")
