@@ -38,6 +38,18 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("-m", dest="max_reads", type=int, default=0,
                     help="stop after ~this many metagenome reads (0 = all)")
     st.add_argument("-s", dest="seed", type=int, default=31, help="k-mer length")
+
+    md = sub.add_parser(
+        "detect-multi",
+        help="score up to 16 strains against shared target metagenomes in ONE "
+        "stream pass (outputs identical to per-strain strain_detect runs)",
+    )
+    md.add_argument("-S", dest="strain_list", required=True,
+                    help="file with one `genome<TAB>informative_kmers` pair per line")
+    md.add_argument("-B", dest="batch_list", required=True,
+                    help="batch file of target metagenomes (PE/SE/PEI rows)")
+    md.add_argument("-o", dest="out_dir", required=True,
+                    help="output directory; one <genome-stem>.kmer_hits.gz per strain")
     return p
 
 
@@ -54,6 +66,30 @@ def main(argv: list[str] | None = None) -> int:
         multi.run_strain_track(args.a_list, args.b_file, k=args.seed,
                                print_track=not args.no_track,
                                max_reads=args.max_reads, out=sys.stdout)
+    elif args.cmd == "detect-multi":
+        import os
+        import re
+
+        from strainer2_tpu.pipeline.multi_detect import (
+            MAX_STRAINS_PER_PASS,
+            MultiStrainDetector,
+        )
+
+        strains = []
+        with open(args.strain_list) as f:
+            for line in f:
+                if line.strip() and not line.startswith("#"):
+                    r, a = line.rstrip("\n").split("\t")[:2]
+                    strains.append((r, a))
+        os.makedirs(args.out_dir, exist_ok=True)
+        for start in range(0, len(strains), MAX_STRAINS_PER_PASS):
+            chunk = strains[start : start + MAX_STRAINS_PER_PASS]
+            det = MultiStrainDetector(chunk)
+            outs = []
+            for r, _ in chunk:
+                stem = re.sub(r"\.(fna|fasta|fa)(\.gz)?$", "", os.path.basename(r))
+                outs.append(os.path.join(args.out_dir, stem + ".kmer_hits.gz"))
+            det.quantify_all(outs, args.batch_list)
     return 0
 
 

@@ -1,0 +1,246 @@
+"""Multi-strain single-pass detection — the framework's EP axis.
+
+The reference scores one strain per process and re-reads every target
+metagenome once per strain (Snakemake fan-out, SURVEY.md §2.7).  Here up
+to 16 strains share one union membership table: each union k-mer's meta
+lane packs two bits per strain (present, informative), so a single stream
+pass over the targets yields every strain's per-read total/informative
+counts — the target data is read and canonicalized once instead of S
+times.
+
+Outputs are per-strain kmer_hits files byte-identical to running the
+single-strain detector per strain (verified in tests/test_multi_detect.py).
+Strains beyond 16 are processed in chunks of 16 passes-worth at a time by
+the caller.
+"""
+
+from __future__ import annotations
+
+import gzip
+import sys
+from dataclasses import dataclass
+from functools import partial
+from typing import IO
+
+import numpy as np
+
+from strainer2_tpu.constants import INFORMATIVE_KMER, IS_PAIRED_END, NOT_PAIRED_END
+from strainer2_tpu.index.build import StrainIndex, scan_file_codes
+from strainer2_tpu.index.bucket import build_bucket_table
+from strainer2_tpu.io.batches import (
+    batch_read_grouping,
+    max_reads_capacity,
+    read_codes_from_batch,
+)
+from strainer2_tpu.ops.packing import canonical_codes_np, decode_codes_np
+from strainer2_tpu.pipeline.detect import DetectConfig, StrainDetector, get_file_type
+from strainer2_tpu.pipeline.engine import KmerEngine
+
+__all__ = ["MultiStrainDetector", "MAX_STRAINS_PER_PASS"]
+
+MAX_STRAINS_PER_PASS = 16  # 2 meta bits per strain in the 32-bit lane
+
+
+@dataclass
+class _StrainState:
+    r_file: str
+    a_file: str
+    codes_sorted: np.ndarray
+    types_sorted: np.ndarray  # aligned with codes_sorted
+    total_kmers: int
+    total_informative: int
+
+
+class MultiStrainDetector:
+    """Score several strains against shared target streams in one pass."""
+
+    def __init__(self, strains: list[tuple[str, str]], cfg: DetectConfig | None = None,
+                 stdout: IO | None = None):
+        if not 1 <= len(strains) <= MAX_STRAINS_PER_PASS:
+            raise ValueError(f"1..{MAX_STRAINS_PER_PASS} strains per pass")
+        self.cfg = cfg or DetectConfig()
+        self.stdout = stdout if stdout is not None else sys.stdout
+        k = self.cfg.k
+        self.max_reads = max_reads_capacity(k, self.cfg.rows, self.cfg.row_len)
+        # borrowed single-strain stream plumbing (native or Python packer)
+        self.engine = KmerEngine(k, self.max_reads)
+        self._read_stream = StrainDetector._read_stream.__get__(self)
+
+        # per-strain state via the single-strain constructor (reuses the
+        # scrubbed-k-mer marking incl. its diagnostics)
+        self.states: list[_StrainState] = []
+        per_strain_codes: list[np.ndarray] = []
+        per_strain_types: list[np.ndarray] = []
+        for r_file, a_file in strains:
+            det = StrainDetector(r_file, a_file, self.cfg, stdout=self.stdout)
+            order = np.argsort(det.index.codes, kind="stable")
+            self.states.append(
+                _StrainState(
+                    r_file=r_file,
+                    a_file=a_file,
+                    codes_sorted=det.index.codes[order],
+                    types_sorted=det.kmer_type[order],
+                    total_kmers=det.index.num_kmers,
+                    total_informative=int(
+                        np.count_nonzero(det.kmer_type == INFORMATIVE_KMER)
+                    ),
+                )
+            )
+            per_strain_codes.append(det.index.codes)
+            per_strain_types.append(det.kmer_type)
+
+        # union table: meta bit 2s = strain s has this k-mer,
+        # bit 2s+1 = informative for strain s
+        union = np.unique(np.concatenate(per_strain_codes))
+        meta = np.zeros(union.shape[0], dtype=np.uint32)
+        for s, (codes, types) in enumerate(zip(per_strain_codes, per_strain_types)):
+            pos = np.searchsorted(union, codes)
+            meta[pos] |= np.uint32(1 << (2 * s))
+            inf = types == INFORMATIVE_KMER
+            meta[pos[inf]] |= np.uint32(1 << (2 * s + 1))
+        self.table = build_bucket_table(union, k)
+        meta_slots = np.zeros(self.table.num_slots, dtype=np.uint32)
+        meta_slots[self.table.slot_of_key] = meta
+
+        import jax
+        import jax.numpy as jnp
+
+        self._rows_dev = jnp.asarray(self.table.with_meta(meta_slots))
+        self._classify = jax.jit(
+            partial(
+                _classify_multi,
+                k=k,
+                max_reads=self.max_reads,
+                n_strains=len(strains),
+            ),
+            static_argnames=("h_bits", "salt"),
+        )
+
+    def quantify_all(self, out_paths: list[str], batch_list: str) -> None:
+        """One pass over every sample in the batch file; writes one
+        kmer_hits gz file per strain."""
+        outs = [gzip.open(p, "wt", compresslevel=9) for p in out_paths]
+        try:
+            with open(batch_list) as f:
+                for raw in f:
+                    fields = [t for t in raw.rstrip("\n").split("\t") if t != ""]
+                    token = fields[0] if fields else raw.rstrip("\n")
+                    ftype = get_file_type(token)
+                    if ftype < 0:
+                        self.stdout.write("unknown file type skipping line (%s)\n" % token)
+                        continue
+                    if len(fields) < 2:
+                        self.stdout.write("ERROR: no first file specified for %s\n" % token)
+                        continue
+                    if ftype == IS_PAIRED_END and len(fields) < 3:
+                        self.stdout.write(
+                            "ERROR: no second file specified for PE: %s\n" % token
+                        )
+                        continue
+                    f2 = fields[2] if ftype == IS_PAIRED_END else None
+                    self._quantify_sample(fields[1], f2, ftype, outs)
+        finally:
+            for o in outs:
+                o.close()
+
+    def _quantify_sample(self, f1: str, f2: str | None, ftype: int, outs: list[IO]) -> None:
+        cfg = self.cfg
+        k = cfg.k
+        paired = ftype != NOT_PAIRED_END
+        t = self.table
+        n_windows = cfg.rows * (cfg.row_len - k + 1)
+        n_strains = len(self.states)
+
+        total_kmers_evaluated = 0
+        total_reads_evaluated = 0
+
+        # reuse the single-strain stream builder (native or Python packer)
+        stream_builder = StrainDetector._batch_stream
+        for batch in stream_builder(self, f1, f2, ftype):
+            n = batch.n_reads
+            boundaries = np.full(self.max_reads + 1, n_windows, dtype=np.int32)
+            boundaries[:n] = batch.window_starts
+            tot_d, inf_d = self._classify(
+                self._rows_dev, batch.bases, boundaries, h_bits=t.h_bits, salt=t.salt
+            )
+            tot = np.asarray(tot_d)[:n]  # (n, S)
+            inf = np.asarray(inf_d)[:n]
+            lens = batch.read_lengths
+            wins = np.maximum(lens - k + 1, 0) * (lens >= k)
+            total_kmers_evaluated += int(wins.sum())
+            if paired:
+                pe1 = np.arange(0, n - (n % 2), 2)
+                total_reads_evaluated += int(np.count_nonzero(lens[pe1] >= k))
+                t1, i1 = tot[pe1], inf[pe1]
+                t2, i2 = tot[pe1 + 1], inf[pe1 + 1]
+            else:
+                total_reads_evaluated += int(np.count_nonzero(lens >= k))
+                pe1 = np.arange(n)
+                t1, i1 = tot, inf
+                t2 = np.zeros_like(t1)
+                i2 = np.zeros_like(i1)
+
+            passing = ((t1 + t2) >= cfg.min_hits_for_good_match) & (
+                (i1 + i2) >= cfg.min_hits_for_informative_read
+            )  # (pairs, S)
+            if passing.any():
+                grouping = batch_read_grouping(batch)
+                pair_idx, strain_idx = np.nonzero(passing)
+                # emit in (strain-major within a pair? reference runs strains
+                # independently, so each strain's file sees its own pairs in
+                # stream order) -> iterate pairs outer to preserve order per file
+                for j in np.unique(pair_idx):
+                    r1 = int(pe1[j])
+                    reads = [read_codes_from_batch(batch, r1, k, grouping)]
+                    if paired:
+                        reads.append(read_codes_from_batch(batch, r1 + 1, k, grouping))
+                    for s in strain_idx[pair_idx == j]:
+                        prefix = (
+                            f"{f1}\t{t1[j, s]}\t{i1[j, s]}\t{t2[j, s]}\t{i2[j, s]}\t"
+                        )
+                        for codes in reads:
+                            self._emit_rows(outs[s], self.states[s], prefix, codes)
+
+        for s, st in enumerate(self.states):
+            outs[s].write("#%s\ttotal_kmer_evaluated\t%d\n" % (f1, total_kmers_evaluated))
+            outs[s].write("#%s\ttotal_reads_evaluated\t%d\n" % (f1, total_reads_evaluated))
+            outs[s].write("#%s\ttotal_genome_kmers\t%d\n" % (f1, st.total_kmers))
+            outs[s].write(
+                "#%s\ttotal_genome_informative_kmers\t%d\n" % (f1, st.total_informative)
+            )
+
+    def _emit_rows(self, out: IO, st: _StrainState, prefix: str, codes: np.ndarray) -> None:
+        ccodes, valid = canonical_codes_np(codes, self.cfg.k)
+        if ccodes.size == 0:
+            return
+        pos = np.searchsorted(st.codes_sorted, ccodes)
+        pos = np.clip(pos, 0, st.codes_sorted.size - 1)
+        found = valid & (st.codes_sorted[pos] == ccodes)
+        informative = found & (st.types_sorted[pos] == INFORMATIVE_KMER)
+        hits = np.flatnonzero(informative)
+        if hits.size:
+            for s in decode_codes_np(ccodes[hits], self.cfg.k):
+                out.write(prefix + s + "\n")
+
+
+def _classify_multi(rows, bases, boundaries, *, k, h_bits, salt, max_reads, n_strains):
+    import jax.numpy as jnp
+
+    from strainer2_tpu.ops.lookup import bucket_lookup
+    from strainer2_tpu.ops.packing import canonical_windows
+
+    win = canonical_windows(jnp.asarray(bases), k)
+    found, _, meta = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
+    hit = (found & win.valid).reshape(-1)
+    m = jnp.where(hit, meta.reshape(-1), 0)  # (Q,) packed strain bits
+
+    shifts = jnp.arange(n_strains, dtype=jnp.uint32) * 2
+    present = ((m[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)  # (Q, S)
+    informative = ((m[:, None] >> (shifts[None, :] + 1)) & 1).astype(jnp.int32)
+
+    zero = jnp.zeros((1, n_strains), dtype=jnp.int32)
+    cum_tot = jnp.concatenate([zero, jnp.cumsum(present, axis=0)])
+    cum_inf = jnp.concatenate([zero, jnp.cumsum(informative, axis=0)])
+    b0 = boundaries[:-1]
+    b1 = boundaries[1:]
+    return cum_tot[b1] - cum_tot[b0], cum_inf[b1] - cum_inf[b0]

@@ -1,0 +1,54 @@
+"""Multi-strain single-pass detection == per-strain single runs, byte-exact."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+MINI = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden", "mini")
+
+
+@pytest.fixture(autouse=True)
+def _chdir(monkeypatch):
+    monkeypatch.chdir(MINI)
+
+
+def _informative_subset(tmp_path, genome, every=5):
+    """Build a valid -a file: every Nth distinct k-mer of the genome."""
+    from strainer2_tpu.index.build import scan_file_codes
+    from strainer2_tpu.ops.packing import decode_codes_np
+    from strainer2_tpu.pipeline.engine import KmerEngine
+
+    codes = scan_file_codes(genome, KmerEngine(31))
+    uniq = np.unique(codes)[::every]
+    p = tmp_path / (os.path.basename(genome) + ".inf.txt")
+    with open(p, "w") as f:
+        for s in decode_codes_np(uniq, 31):
+            f.write(s + "\n")
+    return str(p)
+
+
+def test_multi_strain_single_pass_matches_single_runs(tmp_path):
+    from strainer2_tpu.pipeline.detect import run_detect
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    strains = [
+        ("data/strainA.fna.gz", "expected/scrubbed_m05.txt"),
+        ("data/strainA.fna.gz", "expected/scrubbed_m30.txt"),
+        ("data/panel1.fna.gz", _informative_subset(tmp_path, "data/panel1.fna.gz")),
+    ]
+
+    singles = []
+    for i, (r, a) in enumerate(strains):
+        p = str(tmp_path / f"single_{i}.gz")
+        run_detect(r, a, p, batch_list="data/targets.txt")
+        with gzip.open(p, "rb") as f:
+            singles.append(f.read())
+
+    det = MultiStrainDetector(strains)
+    outs = [str(tmp_path / f"multi_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+    for i, p in enumerate(outs):
+        with gzip.open(p, "rb") as f:
+            assert f.read() == singles[i], f"strain {i} differs"
