@@ -53,10 +53,67 @@ def _c_fraction(hits: int, misses: int) -> str:
     return "%.6f" % (hits / denom)
 
 
+_COMP_BYTES = bytes.maketrans(b"ABCDGHKMNRSTUVWXY", b"TVGHCD.KNYSAABWXR")
+
+
+def _canonical_bytes(window: bytes) -> bytes:
+    """Canonical form for arbitrary-length char windows (max(fwd, rc),
+    forward wins ties — strcmp semantics, any IUPAC letters pass through
+    like the reference's string path)."""
+    rc = window.translate(_COMP_BYTES)[::-1]
+    return window if window >= rc else rc
+
+
+class _HostSetComparer:
+    """String-set engine for k > 32 (beyond the 2-bit packed code range);
+    matches the reference's arbitrary-seed behavior exactly, including
+    windows with non-ACGT letters other than N."""
+
+    def __init__(self, a_file: str, k: int):
+        self.k = k
+        self.kmers: set[bytes] = set()
+        for rec in read_fastx(a_file):
+            seq = rec.seq.upper()
+            for i in range(len(seq) - k + 1):
+                w = seq[i : i + k]
+                if b"N" not in w:
+                    self.kmers.add(_canonical_bytes(w))
+
+    def score(self, path: str, max_seeds: int, threshold: float) -> tuple[int, int]:
+        k = self.k
+        hits = 0
+        misses = 0
+        fullmap = max_seeds == 0
+        for rec in read_fastx(path):
+            seq = rec.seq.upper()
+            if len(seq) < k:
+                continue
+            for i in range(len(seq) - k + 1):
+                w = seq[i : i + k]
+                if b"N" not in w:
+                    if _canonical_bytes(w) in self.kmers:
+                        hits += 1
+                    else:
+                        misses += 1
+                if max_seeds and hits + misses >= max_seeds and not fullmap:
+                    if hits / (hits + misses) > threshold:
+                        fullmap = True
+                    else:
+                        return hits, misses
+        return hits, misses
+
+
 class GenomeComparer:
     def __init__(self, a_file: str, cfg: CompareConfig | None = None):
         self.cfg = cfg or CompareConfig()
         self.a_file = a_file
+        if self.cfg.k > 32:
+            # beyond the packed-code range: exact string-set host engine
+            self.engine = None
+            self.index = None
+            self._host = _HostSetComparer(a_file, self.cfg.k)
+            return
+        self._host = None
         self.engine = KmerEngine(self.cfg.k)
         # set semantics: the reference inserts each canonical k-mer once
         # (reference src/genome_compare.c:475-521)
@@ -67,6 +124,12 @@ class GenomeComparer:
     def score_query(self, path: str, out: IO) -> tuple[int, int]:
         """Score one query file; prints the reference's result line."""
         cfg = self.cfg
+        if self._host is not None:
+            hits, misses = self._host.score(path, cfg.max_seeds, cfg.threshold_for_fullmap)
+            out.write(
+                f"{self.a_file}\t{path}\t{hits}\t{misses}\t{_c_fraction(hits, misses)}\n"
+            )
+            return hits, misses
         t = self.index.table
         table_dev = self.index.device_table()
 

@@ -154,3 +154,23 @@ def test_scrub_count_sharded_mesh_parity():
         out=out, cfg=cfg,
     )
     assert out.bytes() == expected("scrub_counts.tsv")
+
+
+@pytest.mark.parametrize(
+    "kwargs,golden",
+    [
+        (dict(k=40), "gc_s40.txt"),
+        (dict(k=40, max_seeds=200, threshold_for_fullmap=0.3), "gc_s40_rapid.txt"),
+    ],
+)
+def test_genome_compare_large_k_parity(kwargs, golden):
+    """k > 32 uses the exact string-set host engine (arbitrary seed support,
+    like the reference's string hash)."""
+    from strainer2_tpu.pipeline.compare import CompareConfig, run_genome_compare
+
+    out = _Out()
+    run_genome_compare(
+        "data/strainA.fna.gz", b_list="data/compare_list.txt",
+        cfg=CompareConfig(**kwargs), out=out,
+    )
+    assert out.bytes() == expected(golden)
