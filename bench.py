@@ -49,8 +49,26 @@ def main() -> None:
     # loop free of bulk device<->host traffic)
     genome = rng.integers(0, 4, size=INDEX_KMERS + K - 1, dtype=np.uint8)
     t0 = time.time()
-    scan, valid = canonical_codes_np(genome, K)
-    index = StrainIndex.from_scan_codes(scan[valid], k=K)
+    scan = None
+    try:
+        import os
+        import tempfile
+
+        from strainer2_tpu.native import scan_file_codes_native
+
+        with tempfile.NamedTemporaryFile("wb", suffix=".fa", delete=False) as f:
+            f.write(b">g\n")
+            f.write(bytes(np.frombuffer(b"ACGT", dtype=np.uint8)[genome]))
+            f.write(b"\n")
+            tmp = f.name
+        scan = scan_file_codes_native(tmp, K)
+        os.unlink(tmp)
+    except Exception:
+        scan = None
+    if scan is None:
+        codes, valid = canonical_codes_np(genome, K)
+        scan = codes[valid]
+    index = StrainIndex.from_scan_codes(scan, k=K)
     build_s = time.time() - t0
     t = index.table
     rows_dev = index.device_table()  # bucket layout: (num_buckets, 64) rows

@@ -174,3 +174,20 @@ def test_genome_compare_large_k_parity(kwargs, golden):
         cfg=CompareConfig(**kwargs), out=out,
     )
     assert out.bytes() == expected(golden)
+
+
+def test_filter_multi_file_list_parity(tmp_path):
+    """-l list mode: panel counts accumulate across files (reference
+    kmer_scrub_filter.py:152-201)."""
+    import shutil
+
+    from strainer2_tpu.pipeline.filter import parse_scrub_tables, run_filter
+
+    p1 = str(tmp_path / "sc1.gz")
+    p2 = str(tmp_path / "sc2.gz")
+    shutil.copy("expected/scrub_counts.gz", p1)
+    shutil.copy("expected/scrub_counts.gz", p2)
+    table = parse_scrub_tables([p1, p2])
+    out = _Out()
+    run_filter(table, min_fraction=0.05, out=out, err=io.StringIO())
+    assert out.bytes() == expected("scrubbed_list_m05.txt")
