@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", dest="background_list", default=None, help="file listing background metagenomes")
     p.add_argument("-o", dest="out_file", required=True, help="k-mer hits output (gzip)")
     p.add_argument("-n", dest="not_pe", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--index-cache", default=None,
+                   help="npz path to cache/reuse the strain k-mer index")
     p.add_argument("--rows", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("--row-len", type=int, default=None, help=argparse.SUPPRESS)
     return p
@@ -76,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         file_type=ftype,
         background_list=args.background_list,
         cfg=cfg,
+        index_cache=args.index_cache,
     )
     return 0
 

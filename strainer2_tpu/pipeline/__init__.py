@@ -1,3 +1,3 @@
-from strainer2_tpu.pipeline.engine import KmerEngine
+from strainer2_tpu.pipeline.engine import KmerEngine, default_layout
 
-__all__ = ["KmerEngine"]
+__all__ = ["KmerEngine", "default_layout"]

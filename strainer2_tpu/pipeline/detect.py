@@ -80,11 +80,25 @@ def get_file_type(token: str) -> int:
     return -1
 
 
+def _load_or_build_index(r_file, engine, cfg, index_cache):
+    """Build the strain index, or reuse a cached one (StrainIndex.save)."""
+    import os
+
+    if index_cache and os.path.exists(index_cache):
+        idx = StrainIndex.load(index_cache)
+        if idx.k == cfg.k and idx.layout == engine.layout:
+            return idx
+    idx = StrainIndex.from_fasta(r_file, engine, cfg.rows, cfg.row_len)
+    if index_cache:
+        idx.save(index_cache)
+    return idx
+
+
 class StrainDetector:
     """Holds the indexed strain state shared across target samples."""
 
     def __init__(self, r_file: str, a_file: str, cfg: DetectConfig | None = None,
-                 stdout: IO | None = None):
+                 stdout: IO | None = None, index_cache: str | None = None):
         self.cfg = cfg or DetectConfig()
         self.stdout = stdout if stdout is not None else sys.stdout
         from strainer2_tpu.utils.observability import stage
@@ -93,8 +107,8 @@ class StrainDetector:
             self.cfg.k, max_reads_capacity(self.cfg.k, self.cfg.rows, self.cfg.row_len)
         )
         with stage("detect.index_build"):
-            self.index = StrainIndex.from_fasta(
-                r_file, self.engine, self.cfg.rows, self.cfg.row_len
+            self.index = _load_or_build_index(
+                r_file, self.engine, self.cfg, index_cache
             )
         # per-key k-mer class; genome k-mers start NON_INFORMATIVE
         self.kmer_type = np.full(self.index.num_kmers, NON_INFORMATIVE_KMER, np.uint32)
@@ -428,8 +442,9 @@ def run_detect(
     background_list: str | None = None,
     cfg: DetectConfig | None = None,
     stdout: IO | None = None,
+    index_cache: str | None = None,
 ) -> StrainDetector:
-    det = StrainDetector(r_file, a_file, cfg, stdout=stdout)
+    det = StrainDetector(r_file, a_file, cfg, stdout=stdout, index_cache=index_cache)
     if background_list:
         det.background_filter(background_list)
     det.quantify_all(

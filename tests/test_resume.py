@@ -51,3 +51,19 @@ def test_scrub_resume_bit_identical(tmp_path):
     )
     with open("expected/scrub_counts.tsv", "rb") as f:
         assert out.getvalue().encode() == f.read()
+
+
+def test_detect_index_cache_identical(tmp_path):
+    import gzip
+
+    from strainer2_tpu.pipeline.detect import run_detect
+
+    cache = str(tmp_path / "idx.npz")
+    p1, p2 = str(tmp_path / "a.gz"), str(tmp_path / "b.gz")
+    run_detect("data/strainA.fna.gz", "expected/scrubbed_m05.txt", p1,
+               batch_list="data/targets.txt", index_cache=cache)
+    assert os.path.exists(cache)
+    run_detect("data/strainA.fna.gz", "expected/scrubbed_m05.txt", p2,
+               batch_list="data/targets.txt", index_cache=cache)
+    with gzip.open(p1, "rb") as a, gzip.open(p2, "rb") as b:
+        assert a.read() == b.read()
