@@ -191,3 +191,26 @@ def test_filter_multi_file_list_parity(tmp_path):
     out = _Out()
     run_filter(table, min_fraction=0.05, out=out, err=io.StringIO())
     assert out.bytes() == expected("scrubbed_list_m05.txt")
+
+
+def test_filter_drug_scrub_abort():
+    """Too-similar drug strains abort after the stats lines (reference
+    kmer_scrub_filter.py:217-218)."""
+    import numpy as np
+
+    from strainer2_tpu.pipeline.filter import ScrubTable, run_filter
+
+    n = 100
+    keys = [b"A" * 31 for _ in range(n)]
+    table = ScrubTable(
+        keys=keys,
+        strain=np.ones(n, np.int64),
+        pan=np.zeros(n, np.int64),
+        meta=np.zeros(n, np.int64),
+        drug_mask=np.ones(n, bool),  # everything drug-scrubbed
+        has_drug=True,
+    )
+    out = _Out()
+    with pytest.raises(RuntimeError, match="too few kmers remain"):
+        run_filter(table, min_fraction=0.05, out=out, err=io.StringIO())
+    assert "#drug_scrubbed kmers:100" in out.getvalue()
