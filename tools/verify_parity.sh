@@ -11,7 +11,10 @@ set -euo pipefail
 REF=${1:-/root/reference}
 SCRATCH=${2:-/tmp/s2_parity}
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+# NOTE: PYTHONPATH is set to the repo ONLY (not appended): environments that
+# inject a TPU sitecustomize via PYTHONPATH force JAX_PLATFORMS back to their
+# platform, and this comparison should run on CPU.
+export PYTHONPATH="$REPO"
 export JAX_PLATFORMS=${JAX_PLATFORMS_OVERRIDE:-cpu}
 
 STRAIN=Bacteroides_ovatus_1001283st1_B8_1001283B150210_160208
