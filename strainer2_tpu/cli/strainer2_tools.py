@@ -50,6 +50,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="batch file of target metagenomes (PE/SE/PEI rows)")
     md.add_argument("-o", dest="out_dir", required=True,
                     help="output directory; one <genome-stem>.kmer_hits.gz per strain")
+
+    ms = sub.add_parser(
+        "scrub-multi",
+        help="kmer_scrub_count for many strains with ONE shared scan of the "
+        "-A/-B/-C panels (tables identical to per-strain runs)",
+    )
+    ms.add_argument("-R", dest="r_list", required=True,
+                    help="file listing strain genome FASTAs (one per line)")
+    ms.add_argument("-A", dest="a_list", required=True)
+    ms.add_argument("-B", dest="b_list", required=True)
+    ms.add_argument("-C", dest="c_list", default=None)
+    ms.add_argument("-p", dest="p_file", default=None, help="progress output file")
+    ms.add_argument("-o", dest="out_dir", required=True,
+                    help="output directory; one <genome-stem>.scrub_kmer_counts.tsv per strain")
     return p
 
 
@@ -90,6 +104,30 @@ def main(argv: list[str] | None = None) -> int:
                 stem = re.sub(r"\.(fna|fasta|fa)(\.gz)?$", "", os.path.basename(r))
                 outs.append(os.path.join(args.out_dir, stem + ".kmer_hits.gz"))
             det.quantify_all(outs, args.batch_list)
+    elif args.cmd == "scrub-multi":
+        import os
+        import re
+
+        from strainer2_tpu.pipeline.multi_scrub import run_multi_scrub
+        from strainer2_tpu.pipeline.scrub_count import read_list_file
+
+        r_files = [p for p in read_list_file(args.r_list) if p]
+        os.makedirs(args.out_dir, exist_ok=True)
+        progress = open(args.p_file, "w") if args.p_file else None
+        if progress:
+            progress.write("adding kmer counts for:\n")
+        outs = []
+        for r in r_files:
+            stem = re.sub(r"\.(fna|fasta|fa)(\.gz)?$", "", os.path.basename(r))
+            outs.append(open(os.path.join(args.out_dir, stem + ".scrub_kmer_counts.tsv"), "w"))
+        try:
+            run_multi_scrub(r_files, args.a_list, args.b_list, args.c_list, outs,
+                            progress=progress)
+        finally:
+            for o in outs:
+                o.close()
+            if progress:
+                progress.close()
     return 0
 
 

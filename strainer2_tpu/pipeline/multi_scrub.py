@@ -1,0 +1,110 @@
+"""Multi-strain shared-panel scrub counting.
+
+Panel counting dominates real kmer_scrub_count runs (16-68 min per strain
+in the reference's own notes, src/kmer_scrub_count.c:19-20), and the
+reference repeats the whole panel scan for every strain.  But panel
+counting is lookup-only: the count of a k-mer in a panel is a property of
+the K-MER, not of the strain asking — so S strains can share ONE panel
+scan over the union of their k-mer sets, and each strain's table is a
+projection of the union counts.  The output tables are byte-identical to
+S independent kmer_scrub_count runs while scanning the panels once
+(verified in tests/test_multi_scrub.py).
+
+The -C (co-occurring strain) column is per-strain only in that each
+strain skips counting its own genome file (reference
+src/genome_compare.c:115-146); with shared counting this becomes: total
+over all drug files minus the strain's own-file contribution, counted
+once per distinct own-file.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import IO
+
+import numpy as np
+
+from strainer2_tpu.index.build import StrainIndex, scan_file_codes
+from strainer2_tpu.pipeline.engine import KmerEngine
+from strainer2_tpu.pipeline.scrub_count import (
+    ScrubCountConfig,
+    _progress_line,
+    count_panel_file,
+    read_list_file,
+    write_scrub_table,
+)
+
+__all__ = ["run_multi_scrub"]
+
+
+def run_multi_scrub(
+    r_files: list[str],
+    a_list: str,
+    b_list: str,
+    c_list: str | None,
+    outs: list[IO],
+    cfg: ScrubCountConfig | None = None,
+    progress: IO | None = None,
+) -> None:
+    """Emit one reference-identical scrub-count table per strain from one
+    shared scan of the -A/-B (and -C) panels."""
+    import jax.numpy as jnp
+
+    cfg = cfg or ScrubCountConfig()
+    engine = KmerEngine(cfg.k)
+
+    # per-strain indexes (own k-mer sets + genome occurrence counts)
+    strain_indexes = [
+        StrainIndex.from_fasta(r, engine, cfg.rows, cfg.row_len) for r in r_files
+    ]
+    union_codes = np.unique(np.concatenate([ix.codes for ix in strain_indexes]))
+    union = StrainIndex.from_scan_codes(union_codes, k=cfg.k)
+
+    def count_list(paths: list[str]):
+        counts = jnp.zeros(union.table.num_slots, dtype=jnp.uint32)
+        for path in paths:
+            _progress_line(progress, path)
+            counts = count_panel_file(engine, union, counts, path, cfg.rows, cfg.row_len)
+        return union.key_values(np.asarray(counts)).astype(np.uint32)
+
+    pan_union = count_list(read_list_file(a_list))
+    meta_union = count_list(read_list_file(b_list))
+
+    drug_union = None
+    own_contrib: dict[str, np.ndarray] = {}
+    if c_list:
+        from collections import Counter
+
+        drug_paths = read_list_file(c_list)
+        drug_union = count_list(drug_paths)
+        listed = Counter(drug_paths)
+        # each strain subtracts its own genome's contribution: the reference
+        # skips EVERY occurrence of the strain's -r path in the -C list
+        # (reference src/genome_compare.c:138-141)
+        single: dict[str, np.ndarray] = {}
+        for r in set(r_files):
+            if listed[r]:
+                if r not in single:
+                    counts = jnp.zeros(union.table.num_slots, dtype=jnp.uint32)
+                    counts = count_panel_file(
+                        engine, union, counts, r, cfg.rows, cfg.row_len
+                    )
+                    single[r] = union.key_values(np.asarray(counts)).astype(np.uint32)
+                own_contrib[r] = single[r] * np.uint32(listed[r])
+            else:
+                own_contrib[r] = np.zeros_like(drug_union)
+
+    # union-position of each strain's keys for count projection
+    order = np.argsort(union.codes, kind="stable")
+    sorted_codes = union.codes[order]
+
+    for ix, r_file, out in zip(strain_indexes, r_files, outs):
+        pos = order[np.searchsorted(sorted_codes, ix.codes)]
+        col_pan = pan_union[pos]
+        col_meta = meta_union[pos]
+        col_drug = None
+        if drug_union is not None:
+            col_drug = drug_union[pos] - own_contrib[r_file][pos]
+        write_scrub_table(
+            out, ix, col_pan, col_meta, col_drug, reference_order=cfg.reference_order
+        )
