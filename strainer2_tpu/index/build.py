@@ -17,8 +17,6 @@ src/genome_compare.c:967-1030 builds it; every other stage queries it) with:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Iterable
-
 import numpy as np
 
 from strainer2_tpu.constants import DEFAULT_K

@@ -23,7 +23,7 @@ from typing import IO
 
 import numpy as np
 
-from strainer2_tpu.index.build import StrainIndex, scan_file_codes
+from strainer2_tpu.index.build import StrainIndex
 from strainer2_tpu.io.batches import pack_stream
 from strainer2_tpu.io.fastx import read_fastx
 from strainer2_tpu.pipeline.engine import KmerEngine

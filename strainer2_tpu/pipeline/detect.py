@@ -30,7 +30,7 @@ on well-formed data are bit-identical.
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import IO, Iterator
 
 import numpy as np

@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from strainer2_tpu.io.batches import PackedBatch
 from strainer2_tpu.ops.lookup import accumulate_counts, bucket_lookup, cuckoo_lookup
 from strainer2_tpu.ops.packing import canonical_windows, merge_code64_np
 

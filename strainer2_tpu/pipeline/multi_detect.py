@@ -25,7 +25,7 @@ from typing import IO
 import numpy as np
 
 from strainer2_tpu.constants import INFORMATIVE_KMER, IS_PAIRED_END, NOT_PAIRED_END
-from strainer2_tpu.index.build import StrainIndex, scan_file_codes
+from strainer2_tpu.index.build import StrainIndex
 from strainer2_tpu.index.bucket import build_bucket_table
 from strainer2_tpu.io.batches import (
     batch_read_grouping,

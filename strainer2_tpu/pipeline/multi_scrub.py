@@ -19,12 +19,11 @@ once per distinct own-file.
 
 from __future__ import annotations
 
-import sys
 from typing import IO
 
 import numpy as np
 
-from strainer2_tpu.index.build import StrainIndex, scan_file_codes
+from strainer2_tpu.index.build import StrainIndex
 from strainer2_tpu.pipeline.engine import KmerEngine
 from strainer2_tpu.pipeline.scrub_count import (
     ScrubCountConfig,
