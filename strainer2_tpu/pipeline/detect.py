@@ -342,8 +342,10 @@ class StrainDetector:
         odd_interleave = False
         n_windows = cfg.rows * (cfg.row_len - k + 1)
         max_reads = self.engine.max_reads
+        from strainer2_tpu.utils.prefetch import prefetch
+
         try:
-            stream = iter(self._batch_stream(f1, f2, ftype))
+            stream = prefetch(self._batch_stream(f1, f2, ftype))
         except IOError:
             stream = iter(())
         while True:

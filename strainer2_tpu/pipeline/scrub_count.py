@@ -90,10 +90,12 @@ def count_panel_file(
     else:
         seqs = (rec.seq for rec in read_fastx(path))
         stream = pack_stream(seqs, engine.k, rows=rows, row_len=row_len)
+    from strainer2_tpu.utils.prefetch import prefetch
+
     windows_per_batch = rows * (row_len - engine.k + 1)
     n = 0
     with stage("scrub.panel_lookups"):
-        for batch in stream:
+        for batch in prefetch(stream):
             counts = engine.count_batch(counts, table, t.h_bits, t.salt, batch.bases)
             n += windows_per_batch
     from strainer2_tpu.utils import observability as _obs

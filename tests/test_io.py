@@ -120,3 +120,18 @@ def test_encode_np_roundtrip():
     np.testing.assert_array_equal(
         encode_ascii_np(raw), [0, 1, 2, 3, 0, 1, 2, 3, 4, 4, 4]
     )
+
+
+def test_prefetch_preserves_order_and_errors():
+    from strainer2_tpu.utils.prefetch import prefetch
+
+    assert list(prefetch(range(100), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        raise ValueError("x")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)
