@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", dest="background_list", default=None, help="file listing background metagenomes")
     p.add_argument("-o", dest="out_file", required=True, help="k-mer hits output (gzip)")
     p.add_argument("-n", dest="not_pe", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--mesh", default=None,
+                   help="DATAxINDEX device mesh for sharded classification (e.g. 4x2)")
     p.add_argument("--index-cache", default=None,
                    help="npz path to cache/reuse the strain k-mer index")
     p.add_argument("--rows", type=int, default=None, help=argparse.SUPPRESS)
@@ -63,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     cfg = DetectConfig()
+    if args.mesh:
+        d, i = args.mesh.lower().split("x")
+        cfg.mesh = (int(d), int(i))
     if args.rows:
         cfg.rows = args.rows
     if args.row_len:

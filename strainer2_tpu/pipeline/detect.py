@@ -66,6 +66,9 @@ class DetectConfig:
     min_hits_for_good_match: int = 1  # reference src/strain_detect.c:406
     min_hits_for_informative_read: int = 1  # reference src/strain_detect.c:403
     fraction_background_to_remove: float = BACKGROUND_FRACTION_TO_REMOVE
+    # (data, index) device mesh for sharded classification; None = single
+    # device. Results are bit-identical either way.
+    mesh: tuple[int, int] | None = None
 
 
 def get_file_type(token: str) -> int:
@@ -227,6 +230,10 @@ class StrainDetector:
         self._type_sorted = self.kmer_type[self._sorted_order]
         import jax.numpy as jnp
 
+        self._sharded = None
+        if self.cfg.mesh is not None:
+            self._finalize_meta_sharded()
+            return
         if self.index.layout == "bucket":
             # bake the k-mer class into the bucket rows: classification
             # then needs a single gather per window
@@ -237,6 +244,48 @@ class StrainDetector:
         else:
             self._classify_table = self.index.device_table()
             self._meta_dev = jnp.asarray(self.index.slot_values(self.kmer_type))
+        self.total_genome_kmers = self.index.num_kmers
+        self.total_genome_informative = int(
+            np.count_nonzero(self.kmer_type == INFORMATIVE_KMER)
+        )
+
+    def _finalize_meta_sharded(self):
+        """Shard the classification table over a (data, index) device mesh
+        (bit-identical to single-device; the per-read partial sums from the
+        data shards are summed on host)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from strainer2_tpu.parallel.sharding import ShardedKmerEngine, make_mesh
+
+        d, i = self.cfg.mesh
+        t = self.index.table
+        mesh = make_mesh(d, i)
+        self._sharded = ShardedKmerEngine(
+            self.cfg.k, mesh, t.h_bits, t.salt, t.num_slots,
+            max_reads=self.engine.max_reads, layout=self.index.layout,
+        )
+        if self.index.layout == "bucket":
+            spec = NamedSharding(mesh, P("index", None))
+            self._classify_table = jax.device_put(
+                jnp.asarray(t.with_meta(self.index.slot_values(self.kmer_type))),
+                spec,
+            )
+            self._meta_dev = None
+        else:
+            spec = NamedSharding(mesh, P("index"))
+            self._classify_table = (
+                jax.device_put(
+                    jnp.asarray(np.ascontiguousarray(t.table[:, 0])), spec
+                ),
+                jax.device_put(
+                    jnp.asarray(np.ascontiguousarray(t.table[:, 1])), spec
+                ),
+            )
+            self._meta_dev = jax.device_put(
+                jnp.asarray(self.index.slot_values(self.kmer_type)), spec
+            )
         self.total_genome_kmers = self.index.num_kmers
         self.total_genome_informative = int(
             np.count_nonzero(self.kmer_type == INFORMATIVE_KMER)
@@ -364,12 +413,34 @@ class StrainDetector:
             n = batch.n_reads
             boundaries = np.full(max_reads + 1, n_windows, dtype=np.int32)
             boundaries[:n] = batch.window_starts
-            tot_d, inf_d = self.engine.classify_batch(
-                self._classify_table, self._meta_dev, t.h_bits, t.salt,
-                batch.bases, boundaries
-            )
-            tot = np.asarray(tot_d)[:n]
-            inf = np.asarray(inf_d)[:n]
+            if self._sharded is not None:
+                bases = batch.bases
+                pad = (-bases.shape[0]) % self._sharded.n_data
+                if pad:
+                    bases = np.concatenate(
+                        [bases, np.full((pad, bases.shape[1]), 4, dtype=bases.dtype)]
+                    )
+                if self.index.layout == "bucket":
+                    arg = boundaries
+                else:
+                    rid = batch.read_id
+                    if pad:
+                        rid = np.concatenate(
+                            [rid, np.full((pad, rid.shape[1]), -1, dtype=rid.dtype)]
+                        )
+                    arg = rid
+                tot_d, inf_d = self._sharded.classify_batch(
+                    self._classify_table, self._meta_dev, bases, arg
+                )
+                tot = np.asarray(tot_d).sum(axis=0)[:n]
+                inf = np.asarray(inf_d).sum(axis=0)[:n]
+            else:
+                tot_d, inf_d = self.engine.classify_batch(
+                    self._classify_table, self._meta_dev, t.h_bits, t.salt,
+                    batch.bases, boundaries
+                )
+                tot = np.asarray(tot_d)[:n]
+                inf = np.asarray(inf_d)[:n]
             lens = batch.read_lengths
             wins = np.maximum(lens - k + 1, 0) * (lens >= k)
             total_kmers_evaluated += int(wins.sum())

@@ -214,3 +214,18 @@ def test_filter_drug_scrub_abort():
     with pytest.raises(RuntimeError, match="too few kmers remain"):
         run_filter(table, min_fraction=0.05, out=out, err=io.StringIO())
     assert "#drug_scrubbed kmers:100" in out.getvalue()
+
+
+def test_detect_sharded_mesh_parity(tmp_path):
+    """Sharded classification over the virtual device mesh produces the
+    byte-identical hits file."""
+    from strainer2_tpu.pipeline.detect import DetectConfig, run_detect
+
+    hits = str(tmp_path / "hits.gz")
+    out = _Out()
+    cfg = DetectConfig(mesh=(4, 2))
+    run_detect("data/strainA.fna.gz", "expected/scrubbed_m05.txt", hits,
+               batch_list="data/targets.txt", cfg=cfg, stdout=out)
+    with gzip.open(hits, "rb") as f:
+        assert f.read() == expected("kmer_hits.txt")
+    assert out.bytes() == expected("detect_stdout.txt")
