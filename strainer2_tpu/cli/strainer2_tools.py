@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="file with one `genome<TAB>informative_kmers` pair per line")
     md.add_argument("-B", dest="batch_list", required=True,
                     help="batch file of target metagenomes (PE/SE/PEI rows)")
+    md.add_argument("-g", dest="background_list", default=None,
+                    help="background metagenome list (shared counting, per-strain thresholds)")
     md.add_argument("-o", dest="out_dir", required=True,
                     help="output directory; one <genome-stem>.kmer_hits.gz per strain")
 
@@ -98,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
         os.makedirs(args.out_dir, exist_ok=True)
         for start in range(0, len(strains), MAX_STRAINS_PER_PASS):
             chunk = strains[start : start + MAX_STRAINS_PER_PASS]
-            det = MultiStrainDetector(chunk)
+            det = MultiStrainDetector(chunk, background_list=args.background_list)
             outs = []
             for r, _ in chunk:
                 stem = re.sub(r"\.(fna|fasta|fa)(\.gz)?$", "", os.path.basename(r))

@@ -184,45 +184,15 @@ class StrainDetector:
         import jax.numpy as jnp
 
         cfg = self.cfg
-        num_inform = self.num_informative_marked
-        kmer_to_keep = int(num_inform * cfg.fraction_background_to_remove)
-        self.stdout.write(
-            "#removing %f proportion of %s kmers; informative %d keep at least %d\n"
-            % (cfg.fraction_background_to_remove, background_list, num_inform, kmer_to_keep)
-        )
-
         counts = jnp.zeros(self.index.table.num_slots, dtype=jnp.uint32)
         for path in read_list_file(background_list):
             counts = count_panel_file(
                 self.engine, self.index, counts, path, cfg.rows, cfg.row_len
             )
         bg_counts = self.index.key_values(np.asarray(counts)).astype(np.int64)
-
-        informative = self.kmer_type == INFORMATIVE_KMER
-        inf_bg = bg_counts[informative]
-        if inf_bg.size > num_inform:
-            print("Error: too many background kmers", file=sys.stderr)
-            raise SystemExit(1)
-
-        # threshold search: start at 1 (the detection minimum); raise to the
-        # count at the keep boundary, then keep raising while too many
-        # k-mers would be removed (reference 195-214)
-        desc = np.sort(inf_bg)[::-1]
-        max_kmer_to_keep = 1
-        if kmer_to_keep >= 1 and desc.size >= kmer_to_keep and desc[kmer_to_keep - 1] > max_kmer_to_keep:
-            max_kmer_to_keep = int(desc[kmer_to_keep - 1])
-        while int(np.count_nonzero(inf_bg >= max_kmer_to_keep)) > kmer_to_keep:
-            max_kmer_to_keep += 1
-
-        demote = informative & (bg_counts >= max_kmer_to_keep)
-        self.kmer_type[demote] = NON_INFORMATIVE_KMER
-        self.stdout.write(
-            "#final_threshold %d removes %d background kmers %d removed\n"
-            % (
-                max_kmer_to_keep,
-                int(np.count_nonzero(inf_bg >= max_kmer_to_keep)),
-                int(np.count_nonzero(demote)),
-            )
+        background_demote(
+            self.kmer_type, bg_counts, self.num_informative_marked,
+            cfg.fraction_background_to_remove, background_list, self.stdout,
         )
 
     # ---- stage 4: quantify ----
@@ -502,6 +472,44 @@ class StrainDetector:
         if hits.size:
             for s in decode_codes_np(ccodes[hits], self.cfg.k):
                 out.write(prefix + s + "\n")
+
+
+def background_demote(kmer_type, bg_counts, num_inform, fraction, list_name, stdout):
+    """The reference's background threshold search + demotion (reference
+    src/strain_detect.c:160-240) on per-key arrays; mutates kmer_type.
+
+    Threshold search: start at 1 (the detection minimum); raise to the
+    count at the keep boundary, then keep raising while too many k-mers
+    would be removed (reference 195-214).
+    """
+    kmer_to_keep = int(num_inform * fraction)
+    stdout.write(
+        "#removing %f proportion of %s kmers; informative %d keep at least %d\n"
+        % (fraction, list_name, num_inform, kmer_to_keep)
+    )
+    informative = kmer_type == INFORMATIVE_KMER
+    inf_bg = bg_counts[informative]
+    if inf_bg.size > num_inform:
+        print("Error: too many background kmers", file=sys.stderr)
+        raise SystemExit(1)
+
+    desc = np.sort(inf_bg)[::-1]
+    max_kmer_to_keep = 1
+    if kmer_to_keep >= 1 and desc.size >= kmer_to_keep and desc[kmer_to_keep - 1] > max_kmer_to_keep:
+        max_kmer_to_keep = int(desc[kmer_to_keep - 1])
+    while int(np.count_nonzero(inf_bg >= max_kmer_to_keep)) > kmer_to_keep:
+        max_kmer_to_keep += 1
+
+    demote = informative & (bg_counts >= max_kmer_to_keep)
+    kmer_type[demote] = NON_INFORMATIVE_KMER
+    stdout.write(
+        "#final_threshold %d removes %d background kmers %d removed\n"
+        % (
+            max_kmer_to_keep,
+            int(np.count_nonzero(inf_bg >= max_kmer_to_keep)),
+            int(np.count_nonzero(demote)),
+        )
+    )
 
 
 def run_detect(

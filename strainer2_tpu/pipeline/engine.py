@@ -20,6 +20,24 @@ from strainer2_tpu.ops.packing import canonical_windows, merge_code64_np
 __all__ = ["KmerEngine", "default_layout"]
 
 
+def _maybe_enable_compile_cache() -> None:
+    """Opt-in persistent XLA compilation cache (STRAINER2_COMPILE_CACHE=dir):
+    repeated CLI invocations then skip the ~seconds of first-compile per
+    program shape."""
+    import os
+
+    cache = os.environ.get("STRAINER2_COMPILE_CACHE")
+    if cache:
+        import jax
+
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:
+            pass
+
+
 def default_layout() -> str:
     """Bucket rows win on TPU (serialized random access dominates, wide
     slices are free); the cuckoo plane pair wins on CPU where gathers
@@ -36,6 +54,7 @@ class KmerEngine:
     engine, where the table is split across an index mesh axis)."""
 
     def __init__(self, k: int, max_reads: int | None = None, layout: str | None = None):
+        _maybe_enable_compile_cache()
         self.k = k
         self.max_reads = max_reads
         self.layout = layout or default_layout()

@@ -49,13 +49,31 @@ class _StrainState:
     types_sorted: np.ndarray  # aligned with codes_sorted
     total_kmers: int
     total_informative: int
+    num_marked: int = 0  # informative lines marked from the -a file
+
+
+class _UnionIndexView:
+    """Minimal StrainIndex-like facade over a BucketTable for panel
+    counting (count_panel_file only touches .table/.device_table())."""
+
+    def __init__(self, table, k):
+        self.table = table
+        self.k = k
+        self._dev = None
+
+    def device_table(self):
+        if self._dev is None:
+            import jax.numpy as jnp
+
+            self._dev = jnp.asarray(self.table.table)
+        return self._dev
 
 
 class MultiStrainDetector:
     """Score several strains against shared target streams in one pass."""
 
     def __init__(self, strains: list[tuple[str, str]], cfg: DetectConfig | None = None,
-                 stdout: IO | None = None):
+                 stdout: IO | None = None, background_list: str | None = None):
         if not 1 <= len(strains) <= MAX_STRAINS_PER_PASS:
             raise ValueError(f"1..{MAX_STRAINS_PER_PASS} strains per pass")
         self.cfg = cfg or DetectConfig()
@@ -84,21 +102,38 @@ class MultiStrainDetector:
                     total_informative=int(
                         np.count_nonzero(det.kmer_type == INFORMATIVE_KMER)
                     ),
+                    num_marked=det.num_informative_marked,
                 )
             )
             per_strain_codes.append(det.index.codes)
             per_strain_types.append(det.kmer_type)
 
-        # union table: meta bit 2s = strain s has this k-mer,
-        # bit 2s+1 = informative for strain s
         union = np.unique(np.concatenate(per_strain_codes))
+        self.table = build_bucket_table(union, k)
+
+        if background_list:
+            # shared background counting: ONE panel scan over the union,
+            # per-strain projection, then each strain's reference threshold
+            # logic (byte-identical to per-strain -g runs)
+            self._background_filter_shared(
+                union, per_strain_codes, per_strain_types, background_list
+            )
+            # refresh per-strain sorted type views after demotion
+            for st, codes, types in zip(self.states, per_strain_codes, per_strain_types):
+                order = np.argsort(codes, kind="stable")
+                st.types_sorted = types[order]
+                st.total_informative = int(
+                    np.count_nonzero(types == INFORMATIVE_KMER)
+                )
+
+        # union table meta: bit 2s = strain s has this k-mer,
+        # bit 2s+1 = informative for strain s
         meta = np.zeros(union.shape[0], dtype=np.uint32)
         for s, (codes, types) in enumerate(zip(per_strain_codes, per_strain_types)):
             pos = np.searchsorted(union, codes)
             meta[pos] |= np.uint32(1 << (2 * s))
             inf = types == INFORMATIVE_KMER
             meta[pos[inf]] |= np.uint32(1 << (2 * s + 1))
-        self.table = build_bucket_table(union, k)
         meta_slots = np.zeros(self.table.num_slots, dtype=np.uint32)
         meta_slots[self.table.slot_of_key] = meta
 
@@ -115,6 +150,28 @@ class MultiStrainDetector:
             ),
             static_argnames=("h_bits", "salt"),
         )
+
+    def _background_filter_shared(self, union, per_strain_codes, per_strain_types,
+                                  background_list: str) -> None:
+        import jax.numpy as jnp
+
+        from strainer2_tpu.pipeline.detect import background_demote
+        from strainer2_tpu.pipeline.scrub_count import count_panel_file, read_list_file
+
+        cfg = self.cfg
+        eng = KmerEngine(cfg.k, layout="bucket")
+        union_index = _UnionIndexView(self.table, cfg.k)
+        counts = jnp.zeros(self.table.num_slots, dtype=jnp.uint32)
+        for path in read_list_file(background_list):
+            counts = count_panel_file(eng, union_index, counts, path, cfg.rows, cfg.row_len)
+        per_slot = np.asarray(counts)
+        bg_union = per_slot[self.table.slot_of_key].astype(np.int64)  # union order
+        for st, codes, types in zip(self.states, per_strain_codes, per_strain_types):
+            pos = np.searchsorted(union, codes)
+            background_demote(
+                types, bg_union[pos], st.num_marked,
+                cfg.fraction_background_to_remove, background_list, self.stdout,
+            )
 
     def quantify_all(self, out_paths: list[str], batch_list: str) -> None:
         """One pass over every sample in the batch file; writes one

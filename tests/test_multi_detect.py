@@ -52,3 +52,27 @@ def test_multi_strain_single_pass_matches_single_runs(tmp_path):
     for i, p in enumerate(outs):
         with gzip.open(p, "rb") as f:
             assert f.read() == singles[i], f"strain {i} differs"
+
+
+def test_multi_strain_background_filter_matches_single_runs(tmp_path):
+    from strainer2_tpu.pipeline.detect import run_detect
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    strains = [
+        ("data/strainA.fna.gz", "expected/scrubbed_m05.txt"),
+        ("data/strainA.fna.gz", "expected/scrubbed_m30.txt"),
+    ]
+    singles = []
+    for i, (r, a) in enumerate(strains):
+        p = str(tmp_path / f"sbg_{i}.gz")
+        run_detect(r, a, p, batch_list="data/targets.txt",
+                   background_list="data/background.txt")
+        with gzip.open(p, "rb") as f:
+            singles.append(f.read())
+
+    det = MultiStrainDetector(strains, background_list="data/background.txt")
+    outs = [str(tmp_path / f"mbg_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+    for i, p in enumerate(outs):
+        with gzip.open(p, "rb") as f:
+            assert f.read() == singles[i], f"strain {i}"
