@@ -242,8 +242,11 @@ def read_codes_from_batch(batch: PackedBatch, rid: int, k: int, grouping=None) -
     if grouping is None:
         grouping = batch_read_grouping(batch)
     order, sorted_ids = grouping
-    lo = int(np.searchsorted(sorted_ids, rid))
-    hi = int(np.searchsorted(sorted_ids, rid, side="right"))
+    # scalar must match the array dtype: a Python int promotes the whole
+    # sorted array to a fresh int64 copy on every call
+    rid_t = sorted_ids.dtype.type(rid)
+    lo = int(np.searchsorted(sorted_ids, rid_t))
+    hi = int(np.searchsorted(sorted_ids, rid_t, side="right"))
     pos = order[lo:hi]
     bases = batch.bases.reshape(-1)[pos]
     rows = pos // batch.bases.shape[1]

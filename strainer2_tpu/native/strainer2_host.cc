@@ -14,6 +14,7 @@
 //
 // Exposed as a C ABI consumed via ctypes (no pybind11 dependency).
 
+#include <sys/mman.h>
 #include <zlib.h>
 
 #include <cstdint>
@@ -457,26 +458,37 @@ int s2_reference_row_order(const uint64_t* codes, long long n, int k,
   if (m == 0) m = 1000;
   if (m < 10) m = 10;
 
+  if (n > 0x7FFFFFFFLL) return -1;  // int32 key ids below
+
   std::vector<uint32_t> hashes((size_t)n);
   for (long long i = 0; i < n; ++i) hashes[(size_t)i] = djb2_of_code(codes[i], k);
 
-  std::vector<long long> table((size_t)m, -1);
-  auto insert = [&](long long key, std::vector<long long>& tbl, long long cap) {
+  std::vector<int32_t> table((size_t)m, -1);
+  auto insert = [&](long long key, std::vector<int32_t>& tbl, long long cap) {
     long long slot = (long long)(hashes[(size_t)key] % (uint32_t)cap);
     while (tbl[(size_t)slot] != -1) {
       if (++slot == cap) slot = 0;
     }
-    tbl[(size_t)slot] = key;
+    tbl[(size_t)slot] = (int32_t)key;
   };
 
+  // A key's probe START slot depends only on its own hash, so the cache
+  // line can be prefetched ahead of the (order-dependent) insertions.
+  constexpr long long kAhead = 12;
   long long count = 0;  // pre-insert key count (reference h->N)
   for (long long i = 0; i < n; ++i) {
+    if (i + kAhead < n && count + kAhead < m / 2)
+      __builtin_prefetch(&table[hashes[(size_t)(i + kAhead)] % (uint32_t)m], 1, 1);
     insert(i, table, m);
     if (count >= m / 2) {
       long long new_m = m * 2;
-      std::vector<long long> nt((size_t)new_m, -1);
-      for (long long s = 0; s < m; ++s)
+      std::vector<int32_t> nt((size_t)new_m, -1);
+      for (long long s = 0; s < m; ++s) {
+        if (s + kAhead < m && table[(size_t)(s + kAhead)] != -1)
+          __builtin_prefetch(
+              &nt[hashes[(size_t)table[(size_t)(s + kAhead)]] % (uint32_t)new_m], 1, 1);
         if (table[(size_t)s] != -1) insert(table[(size_t)s], nt, new_m);
+      }
       table.swap(nt);
       m = new_m;
     }
@@ -672,38 +684,75 @@ extern "C" {
 
 // out_codes/out_counts must have capacity n.  Returns the number of unique
 // codes, emitted in order of their first occurrence in the scan.
+//
+// Open-addressing hash keyed by the packed code: insertion order IS
+// first-encounter order (the same structural fact the reference's BIO_hash
+// relies on, reference src/BIO_hash.c:123), so one linear pass suffices —
+// no sort.
 long long s2_unique_encounter(const uint64_t* codes, long long n,
                               uint64_t* out_codes, uint32_t* out_counts) {
   if (n == 0) return 0;
-  // sort (code, index) pairs by value for cache locality; index as
-  // secondary key makes the group head the first-encounter position
-  std::vector<std::pair<uint64_t, int64_t>> pairs((size_t)n);
-  for (long long i = 0; i < n; ++i) pairs[(size_t)i] = {codes[i], i};
-  std::sort(pairs.begin(), pairs.end());
-  struct Group { int64_t first; uint64_t code; uint32_t count; };
-  std::vector<Group> groups;
-  groups.reserve((size_t)n / 2);
-  uint64_t cur = pairs[0].first;
-  int64_t first = pairs[0].second;
-  uint32_t count = 1;
-  for (long long i = 1; i < n; ++i) {
-    if (pairs[(size_t)i].first == cur) {
-      ++count;
-    } else {
-      groups.push_back({first, cur, count});
-      cur = pairs[(size_t)i].first;
-      first = pairs[(size_t)i].second;
-      count = 1;
+  int bits = 3;
+  while ((1LL << bits) < 2 * n) ++bits;  // load factor <= 0.5
+  const size_t cap = (size_t)1 << bits;
+  const size_t mask = cap - 1;
+  struct Slot {       // one cache-line-friendly record per probe
+    uint64_t code;
+    int64_t idx;
+  };
+  // Anonymous mmap + MADV_HUGEPAGE: pages are lazily zero-mapped (no init
+  // pass) and faults fill 2 MB huge pages, keeping the random-probe loop
+  // TLB-resident (4 KB pages from plain calloc cost a TLB miss per probe).
+  // Empty sentinel is code == 0 — unreachable for canonical-max codes
+  // (max(fwd, rc) == 0 needs both strands all-A AND all-T) — and the
+  // literal key 0 is tracked out-of-band for generic (non-canonical) input.
+  const size_t bytes = cap * sizeof(Slot);
+  void* mem = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (mem == MAP_FAILED) return -1;
+  madvise(mem, bytes, MADV_HUGEPAGE);
+  Slot* slots = static_cast<Slot*>(mem);
+  long long m = 0;
+  long long zero_idx = -1;  // the one key the sentinel can't represent
+  // Fibonacci multiplicative hash: full-width mix, top bits as index.
+  const auto hash = [bits](uint64_t code) {
+    return (size_t)((code * 0x9E3779B97F4A7C15ULL) >> (64 - bits));
+  };
+  constexpr long long kAhead = 12;  // hide the probe's DRAM miss latency
+  for (long long i = 0; i < n; ++i) {
+    if (i + kAhead < n)
+      __builtin_prefetch(&slots[hash(codes[i + kAhead])], 1, 1);
+    const uint64_t code = codes[i];
+    if (code == 0) {
+      if (zero_idx < 0) {
+        zero_idx = m;
+        out_codes[m] = code;
+        out_counts[m] = 1;
+        ++m;
+      } else {
+        ++out_counts[zero_idx];
+      }
+      continue;
+    }
+    size_t s = hash(code);
+    for (;;) {
+      Slot& slot = slots[s];
+      if (slot.code == code) {
+        ++out_counts[slot.idx];
+        break;
+      }
+      if (slot.code == 0) {
+        slot.code = code;
+        slot.idx = m;
+        out_codes[m] = code;
+        out_counts[m] = 1;
+        ++m;
+        break;
+      }
+      s = (s + 1) & mask;
     }
   }
-  groups.push_back({first, cur, count});
-  std::sort(groups.begin(), groups.end(),
-            [](const Group& a, const Group& b) { return a.first < b.first; });
-  long long m = (long long)groups.size();
-  for (long long i = 0; i < m; ++i) {
-    out_codes[i] = groups[(size_t)i].code;
-    out_counts[i] = groups[(size_t)i].count;
-  }
+  munmap(mem, bytes);
   return m;
 }
 

@@ -238,22 +238,60 @@ def write_scrub_table(
     if raw is not None:
         out.flush()  # keep the text-layer header ordered before raw writes
 
-    for start in range(0, codes.shape[0], chunk):
+    # Writer thread: formatting (native, GIL-released) overlaps the blocking
+    # pipe/disk writes — the two are comparable costs at strain scale.
+    import queue
+    import threading
+
+    wq: queue.Queue = queue.Queue(maxsize=4)
+    werr: list[BaseException] = []
+
+    def _drain() -> None:
+        while True:
+            blob = wq.get()
+            if blob is None:
+                return
+            if werr:
+                continue  # keep consuming so the producer never blocks
+            try:
+                if raw is not None:
+                    raw.write(blob)
+                else:
+                    out.write(blob.decode("ascii"))
+            except BaseException as e:  # surfaced after join
+                werr.append(e)
+
+    writer = threading.Thread(target=_drain, name="scrub-table-writer")
+    writer.start()
+    start = 0
+    try:
+        for start in range(0, codes.shape[0], chunk):
+            end = min(start + chunk, codes.shape[0])
+            nat = format_scrub_rows(
+                codes[start:end],
+                c0[start:end],
+                c1[start:end],
+                c2[start:end],
+                c3[start:end] if c3 is not None else None,
+                index.k,
+            )
+            if nat is None:
+                break  # native library unavailable: Python fallback below
+            if werr:
+                break
+            wq.put(nat)
+        else:
+            start = codes.shape[0]
+    finally:
+        wq.put(None)
+        writer.join()
+    if werr:
+        raise werr[0]
+    if start >= codes.shape[0]:
+        return
+
+    for start in range(start, codes.shape[0], chunk):
         end = min(start + chunk, codes.shape[0])
-        nat = format_scrub_rows(
-            codes[start:end],
-            c0[start:end],
-            c1[start:end],
-            c2[start:end],
-            c3[start:end] if c3 is not None else None,
-            index.k,
-        )
-        if nat is not None:
-            if raw is not None:
-                raw.write(nat)
-            else:
-                out.write(nat.decode("ascii"))
-            continue
         kmers = decode_codes_np(codes[start:end], index.k)
         if c3 is not None:
             rows = [
