@@ -24,7 +24,7 @@ from strainer2_tpu.index.bucket import BucketTable, build_bucket_table
 from strainer2_tpu.index.cuckoo import CuckooTable, build_cuckoo
 from strainer2_tpu.io.batches import DEFAULT_ROW_LEN, DEFAULT_ROWS, pack_stream
 from strainer2_tpu.io.fastx import read_fastx
-from strainer2_tpu.ops.packing import split_code64_np
+from strainer2_tpu.ops.packing_np import split_code64_np
 
 __all__ = ["StrainIndex", "scan_file_codes"]
 
@@ -60,7 +60,7 @@ def scan_file_codes(
     if native is not None:
         return native
 
-    from strainer2_tpu.ops.packing import canonical_codes_np, encode_ascii_np
+    from strainer2_tpu.ops.packing_np import canonical_codes_np, encode_ascii_np
 
     chunks = []
     for rec in read_fastx(path):

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from strainer2_tpu.index.hashing import cuckoo_slots
-from strainer2_tpu.ops.packing import split_code64_np
+from strainer2_tpu.ops.packing_np import split_code64_np
 
 __all__ = ["CuckooTable", "build_cuckoo", "EMPTY_SENTINEL"]
 

@@ -84,6 +84,16 @@ def _load():
             ctypes.c_void_p, ctypes.c_longlong] + [ctypes.c_void_p] * 5 + [
             ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
         ]
+        lib.s2_parse_scrub_open.restype = ctypes.c_void_p
+        lib.s2_parse_scrub_open.argtypes = [ctypes.c_char_p]
+        lib.s2_parse_scrub_rows.restype = ctypes.c_longlong
+        lib.s2_parse_scrub_rows.argtypes = [ctypes.c_void_p]
+        lib.s2_parse_scrub_blob_size.restype = ctypes.c_longlong
+        lib.s2_parse_scrub_blob_size.argtypes = [ctypes.c_void_p]
+        lib.s2_parse_scrub_has_drug.restype = ctypes.c_int
+        lib.s2_parse_scrub_has_drug.argtypes = [ctypes.c_void_p]
+        lib.s2_parse_scrub_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+        lib.s2_parse_scrub_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -268,3 +278,34 @@ def build_bucket_native(codes: np.ndarray, k: int, h_bits: int, salt: int):
     if rc != 0:
         return "retry"
     return table, slot_of_key
+
+
+def parse_scrub_table_native(path: str):
+    """Parse one kmer_scrub_count TSV into contiguous columns.
+
+    Returns (blob uint8, offsets int64 (n+1), c1, c2, c3, c4 int64 arrays,
+    has_drug) — keys in row order as blob[offsets[i]:offsets[i+1]] — or
+    None when the library is unavailable.  Raises ValueError on a data row
+    with fewer than 4 columns (mirrors the Python parser's IndexError).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.s2_parse_scrub_open(path.encode())
+    if not h:
+        raise OSError(f"cannot open {path}")
+    try:
+        n = lib.s2_parse_scrub_rows(h)
+        if n < 0:
+            raise ValueError(f"malformed scrub-count row in {path}")
+        blob = np.empty(lib.s2_parse_scrub_blob_size(h), dtype=np.uint8)
+        offsets = np.empty(n + 1, dtype=np.int64)
+        cols = [np.empty(n, dtype=np.int64) for _ in range(4)]
+        lib.s2_parse_scrub_fill(
+            h, blob.ctypes.data, offsets.ctypes.data,
+            *[c.ctypes.data for c in cols],
+        )
+        has_drug = bool(lib.s2_parse_scrub_has_drug(h))
+        return blob, offsets, cols[0], cols[1], cols[2], cols[3], has_drug
+    finally:
+        lib.s2_parse_scrub_close(h)

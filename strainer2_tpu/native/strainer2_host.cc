@@ -594,6 +594,139 @@ long long s2_format_scrub_rows(char* buf, long long cap, const uint64_t* codes,
   return (long long)(p - buf);
 }
 
+// ---- scrub-count table parsing (filter-stage input) -------------------------
+//
+// Streams a (possibly gzipped) kmer_scrub_count TSV (reference
+// src/kmer_scrub_count.c:134-156 format) into contiguous columns: key bytes
+// (+ offsets) and the 4 count columns.  Replaces the per-line Python parse,
+// which dominates the filter stage's wall time at strain scale.
+
+struct ScrubParse {
+  std::string blob;               // concatenated key bytes
+  std::vector<int64_t> offsets;   // n+1 key boundaries into blob
+  std::vector<int64_t> c1, c2, c3, c4;
+  bool has_drug = false;
+  bool bad_row = false;           // a data row with < 4 columns
+};
+
+// Decimal field at q (optionally negative); advances past the digits.
+static inline const char* parse_dec(const char* q, const char* e, long long* out) {
+  bool neg = false;
+  if (q < e && *q == '-') {
+    neg = true;
+    ++q;
+  }
+  long long v = 0;
+  while (q < e && (unsigned char)(*q - '0') <= 9u) v = v * 10 + (*q++ - '0');
+  *out = neg ? -v : v;
+  return q;
+}
+
+// One data row [s, e) — e at (not past) the newline.
+static void parse_scrub_row(const char* s, const char* e, ScrubParse* p) {
+  if (e > s && e[-1] == '\r') --e;
+  if (s == e || *s == '#') return;
+  const char* tab = static_cast<const char*>(memchr(s, '\t', (size_t)(e - s)));
+  if (!tab) {
+    p->bad_row = true;
+    return;
+  }
+  p->blob.append(s, (size_t)(tab - s));
+  p->offsets.push_back((int64_t)p->blob.size());
+  long long v[4] = {0, 0, 0, 0};
+  int nf = 0;
+  const char* q = tab + 1;
+  while (nf < 4 && q < e) {
+    q = parse_dec(q, e, &v[nf++]);
+    if (q >= e || *q != '\t') break;
+    ++q;
+  }
+  if (nf < 3) {
+    p->bad_row = true;
+    p->offsets.pop_back();
+    p->blob.resize((size_t)p->offsets.back());
+    return;
+  }
+  p->c1.push_back(v[0]);
+  p->c2.push_back(v[1]);
+  p->c3.push_back(v[2]);
+  if (nf == 4) {
+    p->has_drug = true;
+    p->c4.push_back(v[3]);
+  } else {
+    p->c4.push_back(0);
+  }
+}
+
+void* s2_parse_scrub_open(const char* path) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return nullptr;
+  auto* p = new ScrubParse();
+  p->offsets.push_back(0);
+  p->blob.reserve((size_t)64 << 20);  // strain-scale guess; grows amortized
+  p->offsets.reserve(1 << 21);
+  for (auto* col : {&p->c1, &p->c2, &p->c3, &p->c4}) col->reserve(1 << 21);
+  std::vector<char> buf((size_t)1 << 20);
+  std::string carry;
+  bool done = false;
+  while (!done && !p->bad_row) {
+    int nread = gzread(f, buf.data(), (unsigned)buf.size() - 1);
+    if (nread <= 0) {
+      done = true;
+      nread = 0;
+    }
+    buf[(size_t)nread] = '\0';  // terminates the buffer's final row
+    const char* cur = buf.data();
+    const char* end = buf.data() + nread;
+    while (cur < end && !p->bad_row) {
+      const char* nl = static_cast<const char*>(memchr(cur, '\n', (size_t)(end - cur)));
+      if (!nl) {
+        carry.append(cur, (size_t)(end - cur));
+        break;
+      }
+      if (carry.empty()) {
+        parse_scrub_row(cur, nl, p);
+      } else {
+        carry.append(cur, (size_t)(nl - cur));
+        parse_scrub_row(carry.c_str(), carry.c_str() + carry.size(), p);
+        carry.clear();
+      }
+      cur = nl + 1;
+    }
+  }
+  if (!carry.empty() && !p->bad_row)
+    parse_scrub_row(carry.c_str(), carry.c_str() + carry.size(), p);
+  gzclose(f);
+  return p;
+}
+
+long long s2_parse_scrub_rows(void* h) {
+  auto* p = static_cast<ScrubParse*>(h);
+  if (p->bad_row) return -1;
+  return (long long)p->c1.size();
+}
+
+long long s2_parse_scrub_blob_size(void* h) {
+  return (long long)static_cast<ScrubParse*>(h)->blob.size();
+}
+
+int s2_parse_scrub_has_drug(void* h) {
+  return static_cast<ScrubParse*>(h)->has_drug ? 1 : 0;
+}
+
+void s2_parse_scrub_fill(void* h, char* blob, int64_t* offsets, int64_t* c1,
+                         int64_t* c2, int64_t* c3, int64_t* c4) {
+  auto* p = static_cast<ScrubParse*>(h);
+  memcpy(blob, p->blob.data(), p->blob.size());
+  memcpy(offsets, p->offsets.data(), p->offsets.size() * sizeof(int64_t));
+  memcpy(c1, p->c1.data(), p->c1.size() * sizeof(int64_t));
+  memcpy(c2, p->c2.data(), p->c2.size() * sizeof(int64_t));
+  memcpy(c3, p->c3.data(), p->c3.size() * sizeof(int64_t));
+  memcpy(c4, p->c4.data(), p->c4.size() * sizeof(int64_t));
+}
+
+void s2_parse_scrub_close(void* h) { delete static_cast<ScrubParse*>(h); }
+
 }  // extern "C"
 
 // ---- streaming canonical k-mer scanner (index-build host path) -------------

@@ -35,6 +35,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from strainer2_tpu.constants import INVALID_BASE, MAX_K
+from strainer2_tpu.ops.packing_np import (  # noqa: F401  (re-exported host twins)
+    _ASCII_TABLE,
+    canonical_codes_np,
+    decode_codes_np,
+    encode_ascii_np,
+    merge_code64_np,
+    split_code64_np,
+)
 
 __all__ = [
     "KmerWindows",
@@ -64,17 +72,6 @@ class KmerWindows(NamedTuple):
 
 # --- ASCII -> 2-bit encoding -------------------------------------------------
 
-def _ascii_code_table() -> np.ndarray:
-    table = np.full(256, INVALID_BASE, dtype=np.uint8)
-    for codes, value in (("Aa", 0), ("Cc", 1), ("Gg", 2), ("Tt", 3)):
-        for ch in codes:
-            table[ord(ch)] = value
-    return table
-
-
-_ASCII_TABLE = _ascii_code_table()
-
-
 def encode_ascii(ascii_bytes: jax.Array) -> jax.Array:
     """Map uint8 ASCII bytes to base codes 0..3 / INVALID_BASE on device.
 
@@ -84,11 +81,6 @@ def encode_ascii(ascii_bytes: jax.Array) -> jax.Array:
     """
     table = jnp.asarray(_ASCII_TABLE)
     return jnp.take(table, ascii_bytes.astype(jnp.int32), axis=0)
-
-
-def encode_ascii_np(ascii_bytes: np.ndarray) -> np.ndarray:
-    """Host (NumPy) twin of :func:`encode_ascii`."""
-    return _ASCII_TABLE[np.ascontiguousarray(ascii_bytes).view(np.uint8)]
 
 
 # --- window packing ----------------------------------------------------------
@@ -200,49 +192,3 @@ def canonical_windows(bases: jax.Array, k: int) -> KmerWindows:
         lo=jnp.where(fwd_wins, fwd.lo, rc.lo),
         valid=fwd.valid,
     )
-
-
-# --- host-side helpers for the 64-bit view ----------------------------------
-
-def split_code64_np(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """uint64 codes -> (hi, lo) uint32 planes (host side)."""
-    n_lo = min(k, 16)
-    codes = codes.astype(np.uint64)
-    lo = (codes & np.uint64((1 << (2 * n_lo)) - 1)).astype(np.uint32)
-    hi = (codes >> np.uint64(2 * n_lo)).astype(np.uint32)
-    return hi, lo
-
-
-def merge_code64_np(hi: np.ndarray, lo: np.ndarray, k: int) -> np.ndarray:
-    """(hi, lo) uint32 planes -> uint64 codes (host side)."""
-    n_lo = min(k, 16)
-    return (hi.astype(np.uint64) << np.uint64(2 * n_lo)) | lo.astype(np.uint64)
-
-
-def decode_codes_np(codes: np.ndarray, k: int) -> list[str]:
-    """uint64 packed codes -> ACGT strings (host side, for output writers)."""
-    codes = np.asarray(codes, dtype=np.uint64)
-    shifts = np.arange(k - 1, -1, -1, dtype=np.uint64) * np.uint64(2)
-    base_idx = ((codes[:, None] >> shifts[None, :]) & np.uint64(3)).astype(np.uint8)
-    chars = np.frombuffer(b"ACGT", dtype=np.uint8)[base_idx]
-    return [bytes(row).decode("ascii") for row in chars]
-
-
-def canonical_codes_np(base_codes: np.ndarray, k: int):
-    """Host (NumPy) twin of :func:`canonical_windows` for one sequence.
-
-    Used off the hot path (e.g. re-scanning the rare reads that pass
-    detection thresholds to emit their informative windows).  Returns
-    (codes uint64, valid bool) over the L-k+1 windows; empty for L < k.
-    """
-    b = np.asarray(base_codes, dtype=np.uint8)
-    length = b.shape[0]
-    if length < k:
-        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=bool)
-    win = np.lib.stride_tricks.sliding_window_view(b, k)
-    valid = (win < INVALID_BASE).all(axis=1)
-    weights = np.uint64(4) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-    two_bit = (win & np.uint8(3)).astype(np.uint64)
-    fwd = (two_bit * weights).sum(axis=1, dtype=np.uint64)
-    rc = ((np.uint64(3) - two_bit)[:, ::-1] * weights).sum(axis=1, dtype=np.uint64)
-    return np.where(fwd >= rc, fwd, rc), valid

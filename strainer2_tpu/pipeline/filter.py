@@ -32,16 +32,76 @@ from strainer2_tpu.io.fastx import open_maybe_gzip
 __all__ = ["ScrubTable", "parse_scrub_tables", "run_filter"]
 
 
+class KeyRows:
+    """Row-ordered key strings stored as one contiguous byte blob.
+
+    Duck-types the parts of list[bytes] the filter stage uses, without
+    materializing millions of Python bytes objects (the reference table has
+    one row per strain k-mer).
+    """
+
+    __slots__ = ("blob", "offsets")
+
+    def __init__(self, blob: np.ndarray, offsets: np.ndarray):
+        self.blob = blob  # (total_bytes,) uint8
+        self.offsets = offsets  # (n+1,) int64
+
+    def __len__(self) -> int:
+        return self.offsets.shape[0] - 1
+
+    def __getitem__(self, i: int) -> bytes:
+        return self.blob[self.offsets[i] : self.offsets[i + 1]].tobytes()
+
+    def __iter__(self):
+        blob, offsets = self.blob, self.offsets
+        for i in range(len(self)):
+            yield blob[offsets[i] : offsets[i + 1]].tobytes()
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, KeyRows):
+            return np.array_equal(self.offsets, other.offsets) and np.array_equal(
+                self.blob, other.blob
+            )
+        return list(self) == list(other)
+
+    def take(self, idx: np.ndarray) -> list[bytes]:
+        return [self[int(i)] for i in idx]
+
+    def join_lines(self, idx: np.ndarray) -> bytes:
+        """Selected keys, one per line (fixed-width fast path when all keys
+        share a length, as kmer_scrub_count output always does)."""
+        widths = np.diff(self.offsets)
+        if widths.size and (widths == widths[0]).all():
+            w = int(widths[0])
+            mat = self.blob.reshape(-1, w)[idx]
+            out = np.empty((mat.shape[0], w + 1), dtype=np.uint8)
+            out[:, :w] = mat
+            out[:, w] = ord("\n")
+            return out.tobytes()
+        return b"".join(self[int(i)] + b"\n" for i in idx)
+
+
 @dataclass
 class ScrubTable:
     """Parsed scrub-count input in row order."""
 
-    keys: list[bytes]  # k-mer strings, file row order
+    keys: "list[bytes] | KeyRows"  # k-mer strings, file row order
     strain: np.ndarray  # int64 reference_count per row
     pan: np.ndarray  # pangenome counts (possibly summed over files)
     meta: np.ndarray  # metagenome counts (summed over files)
     drug_mask: np.ndarray  # bool, True where any file had drug_count > 0
     has_drug: bool
+
+
+def _parse_one_native(path: str):
+    """(KeyRows, c1..c4, has_drug) via the C++ parser, or None."""
+    from strainer2_tpu.native import parse_scrub_table_native
+
+    parsed = parse_scrub_table_native(path)
+    if parsed is None:
+        return None
+    blob, offsets, c1, c2, c3, c4, has_drug = parsed
+    return KeyRows(blob, offsets), c1, c2, c3, c4, has_drug
 
 
 def _parse_one(path: str):
@@ -83,7 +143,44 @@ def parse_scrub_tables(paths: Sequence[str]) -> ScrubTable:
     from the third file onward (reference kmer_scrub_filter.py:168-201,
     including its off-by-one that never compares file 2 against file 1).
     """
-    agg_pan: dict[bytes, int] | None = None
+    # Fast path: native parse + element-wise aggregation.  Valid whenever
+    # every file carries the same key column (guaranteed for tables written
+    # by kmer_scrub_count over one strain — the reference's own multi-file
+    # contract, which it enforces by the strain-hash equality check).
+    parsed = []
+    for path in paths:
+        one = _parse_one_native(path)
+        if one is None:
+            parsed = None
+            break
+        parsed.append(one)
+    if parsed is not None:
+        keys0 = parsed[0][0]
+        if all(p[0] == keys0 for p in parsed[1:]):
+            strain = parsed[-1][1]
+            for i in range(2, len(parsed)):
+                # reference compares from the third file onward (its
+                # off-by-one never checks file 2 against file 1)
+                if not np.array_equal(parsed[i][1], parsed[i - 1][1]):
+                    sys.exit(
+                        "error: input files do not have identical hash and strain hash values."
+                    )
+            pan = np.sum([p[2] for p in parsed], axis=0, dtype=np.int64)
+            meta = np.sum([p[3] for p in parsed], axis=0, dtype=np.int64)
+            drug_mask = np.zeros(len(keys0), dtype=bool)
+            has_drug = False
+            for p in parsed:
+                if p[5]:
+                    has_drug = True
+                    drug_mask |= p[4] > 0
+            return ScrubTable(keys0, strain, pan, meta, drug_mask, has_drug)
+        # key columns differ: fall through to the dict path with the
+        # already-parsed columns
+        pre = [(list(p[0]), p[1], p[2], p[3], p[4], p[5]) for p in parsed]
+    else:
+        pre = None
+
+    agg_pan: dict[bytes, int] = {}
     agg_meta: dict[bytes, int] = {}
     agg_drugmask: dict[bytes, bool] = {}
     has_drug = False
@@ -91,11 +188,10 @@ def parse_scrub_tables(paths: Sequence[str]) -> ScrubTable:
     keys: list[bytes] = []
     strain = None
 
-    agg_pan = {}
     for i, path in enumerate(paths):
         if i > 1:
             prev_strain = dict(zip(keys, strain.tolist()))
-        keys, c1, c2, c3, c4, hd = _parse_one(path)
+        keys, c1, c2, c3, c4, hd = pre[i] if pre is not None else _parse_one(path)
         strain = c1
         has_drug = has_drug or hd
         for key, v in zip(keys, c2.tolist()):
@@ -162,10 +258,14 @@ def run_filter(
     else:
         alive = _joint_scrub(table, alive, min_fraction, all_kmers, drug_scrubbed)
 
-    kept = [k for k, a in zip(table.keys, alive) if a]
-    out.write("#post scrub kmers %d out of %d\n" % (len(kept), all_kmers))
-    for key in kept:
-        out.write(key.decode("ascii") + "\n")
+    kept_idx = np.flatnonzero(alive)
+    out.write("#post scrub kmers %d out of %d\n" % (kept_idx.size, all_kmers))
+    if isinstance(table.keys, KeyRows):
+        kept = table.keys.take(kept_idx)
+        out.write(table.keys.join_lines(kept_idx).decode("ascii"))
+    else:
+        kept = [table.keys[int(i)] for i in kept_idx]
+        out.write("".join(k.decode("ascii") + "\n" for k in kept))
     return kept
 
 

@@ -33,7 +33,7 @@ from strainer2_tpu.constants import DEFAULT_K
 from strainer2_tpu.index.build import StrainIndex, scan_file_codes
 from strainer2_tpu.index.refhash_order import reference_row_order
 from strainer2_tpu.io.fastx import read_fastx
-from strainer2_tpu.ops.packing import canonical_codes_np, decode_codes_np, encode_ascii_np
+from strainer2_tpu.ops.packing_np import canonical_codes_np, decode_codes_np, encode_ascii_np
 from strainer2_tpu.pipeline.engine import KmerEngine
 from strainer2_tpu.pipeline.scrub_count import read_list_file
 

@@ -217,7 +217,7 @@ def write_scrub_table(
 ) -> None:
     """Emit the table (reference src/kmer_scrub_count.c:134-156): header is
     always 5 columns; rows have 4 columns without -C, 5 with."""
-    from strainer2_tpu.ops.packing import decode_codes_np
+    from strainer2_tpu.ops.packing_np import decode_codes_np
 
     out.write("#kmer\treference_count\tpangenome_count\tmetagenome_count\tdrug_count\n")
 

@@ -1,0 +1,145 @@
+"""Filter-stage table parsing: native fast path vs Python twin.
+
+The scrub-count table parser has three routes (pipeline/filter.py):
+the native columnar parse with element-wise multi-file aggregation (fast
+path), the dict-based aggregation fallback for key-mismatched files, and
+the pure-Python per-line parse when the C++ library is absent.  These
+tests pin all three to each other and to hand-computed expectations.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from strainer2_tpu.pipeline import filter as flt
+
+
+def _write(path, text):
+    path.write_text(text)
+    return str(path)
+
+
+TABLE_A = (
+    "#kmer\treference_count\tpangenome_count\tmetagenome_count\tdrug_count\n"
+    "ACGTACG\t2\t5\t0\n"
+    "CCCCCCC\t1\t0\t3\n"
+    "GGGGGGG\t4\t1\t1\n"
+)
+TABLE_A2 = (
+    "#kmer\treference_count\tpangenome_count\tmetagenome_count\tdrug_count\n"
+    "ACGTACG\t2\t2\t1\n"
+    "CCCCCCC\t1\t0\t0\n"
+    "GGGGGGG\t4\t0\t9\n"
+)
+TABLE_DRUG = (
+    "#kmer\treference_count\tpangenome_count\tmetagenome_count\tdrug_count\n"
+    "ACGTACG\t2\t5\t0\t1\n"
+    "CCCCCCC\t1\t0\t3\t0\n"
+    "GGGGGGG\t4\t1\t1\t2\n"
+)
+
+
+def test_native_parse_matches_python_twin(tmp_path):
+    for text in (TABLE_A, TABLE_DRUG):
+        p = _write(tmp_path / "t.tsv", text)
+        native = flt._parse_one_native(p)
+        if native is None:
+            pytest.skip("native library unavailable")
+        keys_n, c1n, c2n, c3n, c4n, hd_n = native
+        keys_p, c1p, c2p, c3p, c4p, hd_p = flt._parse_one(p)
+        assert list(keys_n) == keys_p
+        for a, b in zip((c1n, c2n, c3n, c4n), (c1p, c2p, c3p, c4p)):
+            assert np.array_equal(a, b)
+        assert hd_n == hd_p
+
+
+def test_multi_file_fast_path_sums(tmp_path):
+    p1 = _write(tmp_path / "a.tsv", TABLE_A)
+    p2 = _write(tmp_path / "b.tsv", TABLE_A2)
+    t = flt.parse_scrub_tables([p1, p2])
+    assert list(t.keys) == [b"ACGTACG", b"CCCCCCC", b"GGGGGGG"]
+    assert t.strain.tolist() == [2, 1, 4]
+    assert t.pan.tolist() == [7, 0, 1]
+    assert t.meta.tolist() == [1, 3, 10]
+    assert not t.has_drug
+
+
+def test_multi_file_drug_mask_any(tmp_path):
+    p1 = _write(tmp_path / "a.tsv", TABLE_DRUG)
+    p2 = _write(tmp_path / "b.tsv", TABLE_A2)  # no drug column
+    t = flt.parse_scrub_tables([p1, p2])
+    assert t.has_drug
+    assert t.drug_mask.tolist() == [True, False, True]
+
+
+def test_key_mismatch_falls_back_to_dict_path(tmp_path):
+    other = TABLE_A.replace("CCCCCCC", "TTTTTTT")
+    p1 = _write(tmp_path / "a.tsv", TABLE_A)
+    p2 = _write(tmp_path / "b.tsv", other)
+    t = flt.parse_scrub_tables([p1, p2])
+    # keys come from the LAST file; counts aggregate by key across files
+    assert list(t.keys) == [b"ACGTACG", b"TTTTTTT", b"GGGGGGG"]
+    assert t.pan.tolist() == [10, 0, 2]
+    assert t.meta.tolist() == [0, 3, 2]
+
+
+def test_strain_mismatch_exits_from_third_file(tmp_path):
+    bad = TABLE_A.replace("ACGTACG\t2", "ACGTACG\t9")
+    p1 = _write(tmp_path / "a.tsv", TABLE_A)
+    p2 = _write(tmp_path / "b.tsv", TABLE_A)
+    p3 = _write(tmp_path / "c.tsv", bad)
+    # reference never compares file 2 against file 1 (off-by-one kept)
+    flt.parse_scrub_tables([p1, p3])
+    with pytest.raises(SystemExit):
+        flt.parse_scrub_tables([p1, p2, p3])
+
+
+def test_malformed_row_raises(tmp_path):
+    p = _write(tmp_path / "t.tsv", "ACGTACG\t2\n")
+    with pytest.raises((ValueError, IndexError)):
+        flt.parse_scrub_tables([p])
+
+
+def test_crlf_and_blank_lines_tolerated(tmp_path):
+    text = "#h\r\nACGTACG\t2\t5\t0\r\n\nCCCCCCC\t1\t0\t3\r\n"
+    p = _write(tmp_path / "t.tsv", text)
+    native = flt._parse_one_native(p)
+    if native is None:
+        pytest.skip("native library unavailable")
+    keys, c1, c2, c3, c4, hd = native
+    assert list(keys) == [b"ACGTACG", b"CCCCCCC"]
+    assert c2.tolist() == [5, 0] and c3.tolist() == [0, 3]
+
+
+def test_keyrows_take_and_join_lines():
+    blob = np.frombuffer(b"AAACCCGGGG", dtype=np.uint8)
+    offsets = np.array([0, 3, 6, 10], dtype=np.int64)  # AAA CCC GGGG
+    kr = flt.KeyRows(blob, offsets)
+    assert len(kr) == 3 and kr[2] == b"GGGG"
+    idx = np.array([0, 2])
+    assert kr.take(idx) == [b"AAA", b"GGGG"]
+    # variable width: generic join
+    assert kr.join_lines(idx) == b"AAA\nGGGG\n"
+    # fixed width: matrix fast path
+    kr2 = flt.KeyRows(
+        np.frombuffer(b"AAACCCGGG", dtype=np.uint8),
+        np.array([0, 3, 6, 9], dtype=np.int64),
+    )
+    assert kr2.join_lines(np.array([2, 0])) == b"GGG\nAAA\n"
+
+
+def test_run_filter_same_output_native_and_python(tmp_path):
+    p = _write(tmp_path / "t.tsv", TABLE_DRUG)
+    native = flt._parse_one_native(p)
+    if native is None:
+        pytest.skip("native library unavailable")
+    t_native = flt.parse_scrub_tables([p])
+    keys, c1, c2, c3, c4, hd = flt._parse_one(p)
+    t_py = flt.ScrubTable(keys, c1, c2, c3, (c4 > 0), hd)
+    outs = []
+    for t in (t_native, t_py):
+        out = io.StringIO()
+        flt.run_filter(t, min_fraction=0.1, out=out, err=io.StringIO())
+        outs.append(out.getvalue())
+    assert outs[0] == outs[1]
