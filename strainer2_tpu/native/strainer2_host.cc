@@ -23,6 +23,8 @@
 #include <string>
 #include <vector>
 #include <memory>
+#include <thread>
+#include <atomic>
 
 // ---------------------------------------------------------------------------
 // gzip/plain line-less streaming reader
@@ -898,32 +900,65 @@ extern "C" {
 
 // table: (2**h_bits, 64) uint32 pre-zeroed EXCEPT caller need not init;
 // returns 0 ok, -1 = some bucket overflowed 16 keys (caller retries).
+//
+// The table is large (256 B/row at ~20% occupancy), so construction is
+// bandwidth-bound: hugepage-advise the range, then split the BUCKET space
+// across threads — each thread initializes its half and inserts only the
+// keys hashing into it (hashing is cheap next to the random row writes, so
+// re-hashing all keys per thread costs less than any synchronization).
 int s2_build_bucket(const uint64_t* codes, long long n, int k, int h_bits,
                     uint32_t salt, uint32_t* table, int32_t* slot_of_key) {
   const long long b_count = 1LL << h_bits;
   const int n_lo = k < 16 ? k : 16;
+  {
+    uintptr_t lo_addr = ((uintptr_t)table + 4095) & ~(uintptr_t)4095;
+    uintptr_t hi_addr = ((uintptr_t)(table + b_count * 64)) & ~(uintptr_t)4095;
+    if (hi_addr > lo_addr)
+      madvise((void*)lo_addr, hi_addr - lo_addr, MADV_HUGEPAGE);
+  }
   std::vector<uint8_t> fill((size_t)b_count, 0);
-  // init rows: keys empty (0xFFFFFFFF), meta/pad zero
-  for (long long b = 0; b < b_count; ++b) {
-    uint32_t* row = table + b * 64;
-    for (int j = 0; j < 32; ++j) row[j] = 0xFFFFFFFFu;
-    for (int j = 32; j < 64; ++j) row[j] = 0;
+  std::atomic<int> overflow{0};
+  auto build_range = [&](long long b_lo, long long b_hi) {
+    for (long long b = b_lo; b < b_hi; ++b) {
+      uint32_t* row = table + b * 64;
+      for (int j = 0; j < 32; ++j) row[j] = 0xFFFFFFFFu;
+      for (int j = 32; j < 64; ++j) row[j] = 0;
+    }
+    constexpr long long kAhead = 12;
+    for (long long i = 0; i < n; ++i) {
+      uint64_t code = codes[i];
+      uint32_t lo = (uint32_t)(code & ((2 * n_lo < 64) ? ((1ULL << (2 * n_lo)) - 1) : ~0ULL));
+      uint32_t hi = (uint32_t)(code >> (2 * n_lo));
+      long long b = cuckoo_slot(hi ^ salt, lo, h_bits, 0);
+      if (b < b_lo || b >= b_hi) continue;
+      if (i + kAhead < n) {
+        uint64_t c2 = codes[i + kAhead];
+        uint32_t lo2 = (uint32_t)(c2 & ((2 * n_lo < 64) ? ((1ULL << (2 * n_lo)) - 1) : ~0ULL));
+        uint32_t hi2 = (uint32_t)(c2 >> (2 * n_lo));
+        __builtin_prefetch(table + cuckoo_slot(hi2 ^ salt, lo2, h_bits, 0) * 64, 1, 1);
+      }
+      uint8_t cell = fill[(size_t)b];
+      if (cell >= 16) {
+        overflow.store(1, std::memory_order_relaxed);
+        return;
+      }
+      fill[(size_t)b] = cell + 1;
+      uint32_t* row = table + b * 64;
+      row[cell] = hi;
+      row[16 + cell] = lo;
+      slot_of_key[i] = (int32_t)(b * 16 + cell);
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw >= 2 && b_count >= 2 && n > (1 << 16)) {
+    long long mid = b_count / 2;
+    std::thread t0(build_range, 0, mid);
+    build_range(mid, b_count);
+    t0.join();
+  } else {
+    build_range(0, b_count);
   }
-  for (long long i = 0; i < n; ++i) {
-    uint64_t code = codes[i];
-    uint32_t lo = (uint32_t)(code & ((2 * n_lo < 64) ? ((1ULL << (2 * n_lo)) - 1) : ~0ULL));
-    uint32_t hi = (uint32_t)(code >> (2 * n_lo));
-    uint32_t shi = hi ^ salt;
-    long long b = cuckoo_slot(shi, lo, h_bits, 0);
-    uint8_t cell = fill[(size_t)b];
-    if (cell >= 16) return -1;
-    fill[(size_t)b] = cell + 1;
-    uint32_t* row = table + b * 64;
-    row[cell] = hi;
-    row[16 + cell] = lo;
-    slot_of_key[i] = (int32_t)(b * 16 + cell);
-  }
-  return 0;
+  return overflow.load() ? -1 : 0;
 }
 
 }  // extern "C"
