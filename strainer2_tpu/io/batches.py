@@ -222,11 +222,13 @@ def pack_stream(
 def batch_read_grouping(batch: PackedBatch):
     """Precompute per-read position lists for :func:`read_codes_from_batch`.
 
-    One stable argsort of the read-id plane; positions stay in row-major
-    (scan) order within each read.
+    The packer places reads in increasing read-id order along the row-major
+    buffer (separators/padding are -1), so the id plane restricted to valid
+    positions is already non-decreasing: dropping the -1s IS the stable
+    sort, no argsort needed.
     """
     flat = batch.read_id.reshape(-1)
-    order = np.argsort(flat, kind="stable").astype(np.int64)
+    order = np.flatnonzero(flat >= 0).astype(np.int64)
     sorted_ids = flat[order]
     return order, sorted_ids
 
