@@ -66,6 +66,30 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("-p", dest="p_file", default=None, help="progress output file")
     ms.add_argument("-o", dest="out_dir", required=True,
                     help="output directory; one <genome-stem>.scrub_kmer_counts.tsv per strain")
+
+    fp = sub.add_parser(
+        "pipeline",
+        help="fused scrub -> filter -> detect -> coverage in one process "
+        "(one index build, no TSV round trips; intermediate artifacts "
+        "byte-identical to the staged CLIs)",
+    )
+    fp.add_argument("-r", dest="r_file", required=True, help="strain genome FASTA")
+    fp.add_argument("-A", dest="a_list", required=True, help="genome panel list")
+    fp.add_argument("-B", dest="b_list", required=True, help="metagenome panel list")
+    fp.add_argument("-C", dest="c_list", default=None, help="co-occurring strain list")
+    fp.add_argument("-T", dest="target_list", required=True,
+                    help="target metagenome batch file (PE/SE/PEI rows)")
+    fp.add_argument("-g", dest="background_list", default=None,
+                    help="background metagenome list for the detect filter")
+    fp.add_argument("-m", dest="min_fraction", type=float, default=0.04,
+                    help="filter min_fraction (default 0.04)")
+    fp.add_argument("-i", dest="independent", action="store_true",
+                    help="independent per-panel scrub")
+    fp.add_argument("--min_kmer_hits", type=int, default=1,
+                    help="coverage_depth row threshold (default 1)")
+    fp.add_argument("--no-intermediates", action="store_true",
+                    help="skip writing scrub_kmer_counts.gz / scrubbed_kmers.gz")
+    fp.add_argument("-o", dest="out_dir", required=True, help="output directory")
     return p
 
 
@@ -130,6 +154,24 @@ def main(argv: list[str] | None = None) -> int:
                 o.close()
             if progress:
                 progress.close()
+    elif args.cmd == "pipeline":
+        from strainer2_tpu.pipeline.fused import FusedConfig, run_pipeline
+
+        paths = run_pipeline(
+            args.r_file, args.a_list, args.b_list, args.target_list,
+            args.out_dir, c_list=args.c_list,
+            background_list=args.background_list,
+            fused_cfg=FusedConfig(
+                min_fraction=args.min_fraction,
+                independent=args.independent,
+                min_kmer_hits=args.min_kmer_hits,
+                write_counts=not args.no_intermediates,
+                write_scrubbed=not args.no_intermediates,
+            ),
+        )
+        for k, v in paths.items():
+            if v:
+                print(f"{k}\t{v}", file=sys.stderr)
     return 0
 
 

@@ -52,12 +52,27 @@ def merge_code64_np(hi: np.ndarray, lo: np.ndarray, k: int) -> np.ndarray:
     return (hi.astype(np.uint64) << np.uint64(2 * n_lo)) | lo.astype(np.uint64)
 
 
-def decode_codes_np(codes: np.ndarray, k: int) -> list[str]:
-    """uint64 packed codes -> ACGT strings (host side, for output writers)."""
+def decode_codes_matrix_np(codes: np.ndarray, k: int) -> np.ndarray:
+    """uint64 packed codes -> (n, k) uint8 ASCII matrix (host side).
+
+    Chunked: the naive broadcast builds an (n, k) uint64 intermediate
+    (gigabytes at strain scale) — decode 256k rows at a time instead.
+    """
     codes = np.asarray(codes, dtype=np.uint64)
     shifts = np.arange(k - 1, -1, -1, dtype=np.uint64) * np.uint64(2)
-    base_idx = ((codes[:, None] >> shifts[None, :]) & np.uint64(3)).astype(np.uint8)
-    chars = np.frombuffer(b"ACGT", dtype=np.uint8)[base_idx]
+    ascii_tab = np.frombuffer(b"ACGT", dtype=np.uint8)
+    out = np.empty((codes.shape[0], k), dtype=np.uint8)
+    step = 1 << 18
+    for s in range(0, codes.shape[0], step):
+        block = codes[s : s + step]
+        base_idx = ((block[:, None] >> shifts[None, :]) & np.uint64(3)).astype(np.uint8)
+        out[s : s + step] = ascii_tab[base_idx]
+    return out
+
+
+def decode_codes_np(codes: np.ndarray, k: int) -> list[str]:
+    """uint64 packed codes -> ACGT strings (host side, for output writers)."""
+    chars = decode_codes_matrix_np(codes, k)
     return [bytes(row).decode("ascii") for row in chars]
 
 

@@ -100,8 +100,14 @@ def _load_or_build_index(r_file, engine, cfg, index_cache):
 class StrainDetector:
     """Holds the indexed strain state shared across target samples."""
 
-    def __init__(self, r_file: str, a_file: str, cfg: DetectConfig | None = None,
-                 stdout: IO | None = None, index_cache: str | None = None):
+    def __init__(self, r_file: str, a_file: str | None, cfg: DetectConfig | None = None,
+                 stdout: IO | None = None, index_cache: str | None = None,
+                 index: "StrainIndex | None" = None,
+                 informative_keys: np.ndarray | None = None):
+        """a_file marks informative k-mers from the scrubbed-k-mer file.
+        The fused pipeline instead passes a prebuilt ``index`` plus
+        ``informative_keys`` (key indices in first-encounter order),
+        skipping the genome re-scan and the k-mer string round trip."""
         self.cfg = cfg or DetectConfig()
         self.stdout = stdout if stdout is not None else sys.stdout
         from strainer2_tpu.utils.observability import stage
@@ -109,15 +115,25 @@ class StrainDetector:
         self.engine = KmerEngine(
             self.cfg.k, max_reads_capacity(self.cfg.k, self.cfg.rows, self.cfg.row_len)
         )
-        with stage("detect.index_build"):
-            self.index = _load_or_build_index(
-                r_file, self.engine, self.cfg, index_cache
-            )
+        if index is not None:
+            self.index = index
+        else:
+            with stage("detect.index_build"):
+                self.index = _load_or_build_index(
+                    r_file, self.engine, self.cfg, index_cache
+                )
         # per-key k-mer class; genome k-mers start NON_INFORMATIVE
         self.kmer_type = np.full(self.index.num_kmers, NON_INFORMATIVE_KMER, np.uint32)
         self._sorted_order = np.argsort(self.index.codes, kind="stable")
         self._sorted_codes = self.index.codes[self._sorted_order]
-        self.num_informative_marked = self._mark_scrubbed(a_file)
+        if informative_keys is not None:
+            keys = np.asarray(informative_keys, dtype=np.int64)
+            self.kmer_type[keys] = INFORMATIVE_KMER
+            self.num_informative_marked = int(keys.size)
+        else:
+            if a_file is None:
+                raise ValueError("either a_file or informative_keys is required")
+            self.num_informative_marked = self._mark_scrubbed(a_file)
         self._meta_dev = None
 
     # ---- stage 2: mark informative k-mers ----

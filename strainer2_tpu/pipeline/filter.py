@@ -223,9 +223,13 @@ def run_filter(
     independent: bool = False,
     out: IO = None,
     err: IO = None,
-) -> list[bytes]:
+    return_indices: bool = False,
+) -> "list[bytes] | tuple[list[bytes], np.ndarray]":
     """Apply the scrub filter; writes the reference-format report + kept
-    k-mers to ``out`` and returns the kept k-mers (input row order)."""
+    k-mers to ``out`` and returns the kept k-mers (input row order).
+    With return_indices, also returns the kept row indices — the fused
+    pipeline maps those straight to strain-index keys, skipping the
+    k-mer-string round trip."""
     out = out if out is not None else sys.stdout
     err = err if err is not None else sys.stderr
 
@@ -266,6 +270,8 @@ def run_filter(
     else:
         kept = [table.keys[int(i)] for i in kept_idx]
         out.write("".join(k.decode("ascii") + "\n" for k in kept))
+    if return_indices:
+        return kept, kept_idx
     return kept
 
 

@@ -1,0 +1,170 @@
+"""Fused end-to-end pipeline: scrub count -> filter -> detect -> coverage
+in ONE process.
+
+The reference workflow (reference test/example.sh:1-28) runs four
+processes wired by gzip'd TSV files; every stage re-parses what the
+previous one formatted, and detection re-scans the strain genome the
+scrub stage already indexed.  The fused runner keeps everything
+in memory instead:
+
+- the strain index is built once and shared by scrub counting and
+  detection (the reference builds its hash twice, src/kmer_scrub_count.c:87
+  and src/strain_detect.c:137);
+- the filter consumes the count columns directly (no 255 MB TSV round
+  trip) via an in-memory ScrubTable in the reference's row order, so the
+  joint-scrub tie handling is unchanged;
+- the kept rows map straight to strain-index keys — the k-mer strings are
+  never re-encoded or re-oriented (the -a file parse of
+  src/strain_detect.c:668-726 is skipped entirely);
+- intermediate artifacts (scrub_kmer_counts.gz, scrubbed_kmers.gz) are
+  still written by default — byte-identical to the staged CLIs — so the
+  fused run remains drop-in observable and resumable downstream.
+
+Output files land in ``out_dir`` with the reference workflow's names:
+<stem>.scrub_kmer_counts.gz, <stem>.scrubbed_kmers.gz, <stem>.kmer_hits.gz,
+<stem>.coverage_depth.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import re
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from strainer2_tpu.index.refhash_order import reference_row_order
+from strainer2_tpu.ops.packing_np import decode_codes_matrix_np
+
+__all__ = ["FusedConfig", "run_pipeline"]
+
+
+@dataclass
+class FusedConfig:
+    min_fraction: float = 0.04  # reference kmer_scrub_filter.py default
+    independent: bool = False
+    min_kmer_hits: int = 1  # coverage_depth threshold
+    write_counts: bool = True
+    write_scrubbed: bool = True
+    gzip_level: int = 1  # intermediates; reference example uses `gzip --best`
+
+
+def _stem(path: str) -> str:
+    return re.sub(r"\.(fna|fasta|fa)(\.gz)?$", "", os.path.basename(path))
+
+
+def run_pipeline(
+    r_file: str,
+    a_list: str,
+    b_list: str,
+    target_list: str,
+    out_dir: str,
+    c_list: str | None = None,
+    background_list: str | None = None,
+    coverage_background_list: str | None = None,
+    fused_cfg: FusedConfig | None = None,
+    progress=None,
+    err=None,
+    stdout=None,
+) -> dict:
+    """Run all four stages; returns the output paths keyed by stage."""
+    from strainer2_tpu.constants import COL_DRUG, COL_METAGENOME, COL_PANGENOME
+    from strainer2_tpu.index.build import StrainIndex
+    from strainer2_tpu.pipeline.coverage import run_coverage_depth
+    from strainer2_tpu.pipeline.detect import DetectConfig, StrainDetector
+    from strainer2_tpu.pipeline.engine import KmerEngine
+    from strainer2_tpu.pipeline.filter import KeyRows, ScrubTable, run_filter
+    from strainer2_tpu.pipeline.scrub_count import (
+        ScrubCountConfig,
+        _count_panel,
+        write_scrub_table,
+    )
+    from strainer2_tpu.utils.observability import stage
+
+    fcfg = fused_cfg or FusedConfig()
+    err = err if err is not None else sys.stderr
+    os.makedirs(out_dir, exist_ok=True)
+    stem = _stem(r_file)
+    paths = {
+        "counts": os.path.join(out_dir, stem + ".scrub_kmer_counts.gz"),
+        "scrubbed": os.path.join(out_dir, stem + ".scrubbed_kmers.gz"),
+        "hits": os.path.join(out_dir, stem + ".kmer_hits.gz"),
+        "coverage": os.path.join(out_dir, stem + ".coverage_depth"),
+    }
+
+    cfg = ScrubCountConfig()
+    engine = KmerEngine(cfg.k)
+    with stage("fused.index_build"):
+        index = StrainIndex.from_fasta(r_file, engine, cfg.rows, cfg.row_len)
+
+    # ---- stage 1: panel counting (one shared index) ----
+    col_pan = _count_panel(engine, index, a_list, cfg, progress, column=COL_PANGENOME)
+    col_meta = _count_panel(engine, index, b_list, cfg, progress, column=COL_METAGENOME)
+    col_drug = (
+        _count_panel(engine, index, c_list, cfg, progress,
+                     skip_path=r_file, column=COL_DRUG)
+        if c_list
+        else None
+    )
+
+    order = reference_row_order(index.codes, index.k)
+    if fcfg.write_counts:
+        with stage("fused.write_counts"):
+            with gzip.open(paths["counts"], "wt", compresslevel=fcfg.gzip_level) as f:
+                write_scrub_table(f, index, col_pan, col_meta, col_drug,
+                                  order=order)
+    else:
+        paths["counts"] = None
+
+    # ---- stage 2: filter on the in-memory table (reference row order) ----
+    with stage("fused.filter"):
+        key_mat = decode_codes_matrix_np(index.codes[order], index.k)
+        keys = KeyRows(
+            np.ascontiguousarray(key_mat).reshape(-1),
+            np.arange(key_mat.shape[0] + 1, dtype=np.int64) * index.k,
+        )
+        table = ScrubTable(
+            keys=keys,
+            strain=index.genome_counts[order].astype(np.int64),
+            pan=col_pan[order].astype(np.int64),
+            meta=col_meta[order].astype(np.int64),
+            drug_mask=(col_drug[order] > 0) if col_drug is not None
+            else np.zeros(len(keys), dtype=bool),
+            has_drug=col_drug is not None,
+        )
+        if fcfg.write_scrubbed:
+            scrub_out: io.TextIOBase = gzip.open(
+                paths["scrubbed"], "wt", compresslevel=fcfg.gzip_level
+            )
+        else:
+            scrub_out = io.StringIO()
+            paths["scrubbed"] = None
+        try:
+            _, kept_idx = run_filter(
+                table, min_fraction=fcfg.min_fraction,
+                independent=fcfg.independent, out=scrub_out, err=err,
+                return_indices=True,
+            )
+        finally:
+            scrub_out.close()
+    informative_keys = order[kept_idx]
+
+    # ---- stages 3+4: detect on the shared index, then coverage ----
+    det = StrainDetector(
+        r_file, None, DetectConfig(k=cfg.k),
+        stdout=stdout if stdout is not None else sys.stdout,
+        index=index, informative_keys=informative_keys,
+    )
+    if background_list:
+        det.background_filter(background_list)
+    det.quantify_all(paths["hits"], batch_list=target_list)
+
+    with stage("fused.coverage"), open(paths["coverage"], "w") as f:
+        run_coverage_depth(
+            paths["hits"], min_kmer_hits=fcfg.min_kmer_hits,
+            background_metagenomes_file=coverage_background_list, out=f,
+        )
+    return paths

@@ -214,17 +214,20 @@ def write_scrub_table(
     col_drug: np.ndarray | None,
     reference_order: bool = True,
     chunk: int = 200_000,
+    order: np.ndarray | None = None,
 ) -> None:
     """Emit the table (reference src/kmer_scrub_count.c:134-156): header is
-    always 5 columns; rows have 4 columns without -C, 5 with."""
+    always 5 columns; rows have 4 columns without -C, 5 with.  ``order``
+    short-circuits the djb2 replay when the caller already computed it."""
     from strainer2_tpu.ops.packing_np import decode_codes_np
 
     out.write("#kmer\treference_count\tpangenome_count\tmetagenome_count\tdrug_count\n")
 
-    if reference_order:
-        order = reference_row_order(index.codes, index.k)
-    else:
-        order = np.arange(index.num_kmers, dtype=np.int64)
+    if order is None:
+        if reference_order:
+            order = reference_row_order(index.codes, index.k)
+        else:
+            order = np.arange(index.num_kmers, dtype=np.int64)
 
     codes = index.codes[order]
     c0 = index.genome_counts[order]

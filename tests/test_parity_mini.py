@@ -229,3 +229,47 @@ def test_detect_sharded_mesh_parity(tmp_path):
     with gzip.open(hits, "rb") as f:
         assert f.read() == expected("kmer_hits.txt")
     assert out.bytes() == expected("detect_stdout.txt")
+
+
+def test_fused_pipeline_artifact_parity(tmp_path):
+    """The fused one-process pipeline (shared index, in-memory filter)
+    writes the SAME bytes as the staged CLIs for every artifact."""
+    from strainer2_tpu.pipeline.coverage import run_coverage_depth
+    from strainer2_tpu.pipeline.fused import FusedConfig, run_pipeline
+
+    out_dir = str(tmp_path / "fused")
+    paths = run_pipeline(
+        "data/strainA.fna.gz", "data/genomes.txt", "data/metagenomes.txt",
+        "data/targets.txt", out_dir,
+        fused_cfg=FusedConfig(min_fraction=0.05),
+        err=io.StringIO(), stdout=_Out(),
+    )
+    with gzip.open(paths["counts"], "rb") as f:
+        assert f.read() == expected("scrub_counts.tsv")
+    with gzip.open(paths["scrubbed"], "rb") as f:
+        assert f.read() == expected("scrubbed_m05.txt")
+    with gzip.open(paths["hits"], "rb") as f:
+        assert f.read() == expected("kmer_hits.txt")
+    # coverage file equals a staged coverage_depth run on the same hits file
+    out = _Out()
+    run_coverage_depth(paths["hits"], out=out)
+    with open(paths["coverage"], "rb") as f:
+        assert f.read() == out.bytes()
+
+
+def test_fused_pipeline_background_and_no_intermediates(tmp_path):
+    from strainer2_tpu.pipeline.fused import FusedConfig, run_pipeline
+
+    out_dir = str(tmp_path / "fused_bg")
+    stdout = _Out()
+    paths = run_pipeline(
+        "data/strainA.fna.gz", "data/genomes.txt", "data/metagenomes.txt",
+        "data/targets.txt", out_dir, background_list="data/background.txt",
+        fused_cfg=FusedConfig(min_fraction=0.05, write_counts=False,
+                              write_scrubbed=False),
+        err=io.StringIO(), stdout=stdout,
+    )
+    assert paths["counts"] is None and paths["scrubbed"] is None
+    with gzip.open(paths["hits"], "rb") as f:
+        assert f.read() == expected("kmer_hits_bg.txt")
+    assert stdout.bytes() == expected("detect_bg_stdout.txt")
