@@ -90,6 +90,27 @@ def build_parser() -> argparse.ArgumentParser:
     fp.add_argument("--no-intermediates", action="store_true",
                     help="skip writing scrub_kmer_counts.gz / scrubbed_kmers.gz")
     fp.add_argument("-o", dest="out_dir", required=True, help="output directory")
+
+    fpm = sub.add_parser(
+        "pipeline-multi",
+        help="fused pipeline for MANY strains: one shared panel scan, "
+        "per-strain filters, multi-strain detection (16 strains/pass); "
+        "per-strain outputs identical to independent runs",
+    )
+    fpm.add_argument("-R", dest="r_list", required=True,
+                     help="file listing strain genome FASTAs (one per line)")
+    fpm.add_argument("-A", dest="a_list", required=True, help="genome panel list")
+    fpm.add_argument("-B", dest="b_list", required=True, help="metagenome panel list")
+    fpm.add_argument("-C", dest="c_list", default=None, help="co-occurring strain list")
+    fpm.add_argument("-T", dest="target_list", required=True,
+                     help="target metagenome batch file (PE/SE/PEI rows)")
+    fpm.add_argument("-g", dest="background_list", default=None,
+                     help="background metagenome list for the detect filter")
+    fpm.add_argument("-m", dest="min_fraction", type=float, default=0.04)
+    fpm.add_argument("-i", dest="independent", action="store_true")
+    fpm.add_argument("--min_kmer_hits", type=int, default=1)
+    fpm.add_argument("--no-intermediates", action="store_true")
+    fpm.add_argument("-o", dest="out_dir", required=True, help="output directory")
     return p
 
 
@@ -172,6 +193,30 @@ def main(argv: list[str] | None = None) -> int:
         for k, v in paths.items():
             if v:
                 print(f"{k}\t{v}", file=sys.stderr)
+    elif args.cmd == "pipeline-multi":
+        from strainer2_tpu.pipeline.fused import FusedConfig, run_multi_pipeline
+        from strainer2_tpu.pipeline.scrub_count import read_list_file
+
+        r_files = read_list_file(args.r_list)
+        if not r_files:
+            print(f"error: no strain genomes listed in {args.r_list}", file=sys.stderr)
+            return 1
+        all_paths = run_multi_pipeline(
+            r_files, args.a_list, args.b_list,
+            args.target_list, args.out_dir, c_list=args.c_list,
+            background_list=args.background_list,
+            fused_cfg=FusedConfig(
+                min_fraction=args.min_fraction,
+                independent=args.independent,
+                min_kmer_hits=args.min_kmer_hits,
+                write_counts=not args.no_intermediates,
+                write_scrubbed=not args.no_intermediates,
+            ),
+        )
+        for paths in all_paths:
+            for k, v in paths.items():
+                if v:
+                    print(f"{k}\t{v}", file=sys.stderr)
     return 0
 
 

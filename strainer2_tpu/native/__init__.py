@@ -67,6 +67,8 @@ def _load():
         ]
         lib.s2_open_scan.restype = ctypes.c_void_p
         lib.s2_open_scan.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.s2_scan_ok.restype = ctypes.c_int
+        lib.s2_scan_ok.argtypes = [ctypes.c_void_p]
         lib.s2_scan_next.restype = ctypes.c_longlong
         lib.s2_scan_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong]
         lib.s2_close_scan.argtypes = [ctypes.c_void_p]
@@ -235,6 +237,8 @@ def scan_file_codes_native(path: str, k: int, chunk: int = 4 << 20) -> np.ndarra
     s = lib.s2_open_scan(path.encode(), k)
     chunks = []
     try:
+        if not lib.s2_scan_ok(s):
+            raise OSError(f"could not read file {path}")
         while True:
             buf = np.empty(chunk, dtype=np.uint64)
             n = lib.s2_scan_next(s, buf.ctypes.data, chunk)

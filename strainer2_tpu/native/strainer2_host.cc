@@ -758,6 +758,14 @@ void* s2_open_scan(const char* path, int k) {
   return s;
 }
 
+// 1 when the underlying file opened and parsed as FASTA/FASTQ; lets the
+// caller distinguish "unreadable file" from "no valid k-mers" (the
+// reference exits on unreadable inputs, e.g. src/genome_compare.c:124-127).
+int s2_scan_ok(void* stream) {
+  auto* s = static_cast<ScanStream*>(stream);
+  return s->reader->ok() ? 1 : 0;
+}
+
 // Fill out[0..cap) with canonical codes in scan order; returns count
 // (0 = end of stream).
 long long s2_scan_next(void* stream, uint64_t* out, long long cap) {

@@ -39,7 +39,7 @@ import numpy as np
 from strainer2_tpu.index.refhash_order import reference_row_order
 from strainer2_tpu.ops.packing_np import decode_codes_matrix_np
 
-__all__ = ["FusedConfig", "run_pipeline"]
+__all__ = ["FusedConfig", "run_pipeline", "run_multi_pipeline"]
 
 
 @dataclass
@@ -54,6 +54,44 @@ class FusedConfig:
 
 def _stem(path: str) -> str:
     return re.sub(r"\.(fna|fasta|fa)(\.gz)?$", "", os.path.basename(path))
+
+
+def _filter_in_memory(index, order, col_pan, col_meta, col_drug,
+                      scrubbed_path, fcfg, err) -> np.ndarray:
+    """Filter one strain's in-memory count table (reference row order);
+    returns the informative key indices (first-encounter order).  Writes
+    the scrubbed-k-mer artifact when scrubbed_path is given."""
+    from strainer2_tpu.pipeline.filter import KeyRows, ScrubTable, run_filter
+
+    key_mat = decode_codes_matrix_np(index.codes[order], index.k)
+    keys = KeyRows(
+        np.ascontiguousarray(key_mat).reshape(-1),
+        np.arange(key_mat.shape[0] + 1, dtype=np.int64) * index.k,
+    )
+    table = ScrubTable(
+        keys=keys,
+        strain=index.genome_counts[order].astype(np.int64),
+        pan=col_pan[order].astype(np.int64),
+        meta=col_meta[order].astype(np.int64),
+        drug_mask=(col_drug[order] > 0) if col_drug is not None
+        else np.zeros(len(keys), dtype=bool),
+        has_drug=col_drug is not None,
+    )
+    if scrubbed_path:
+        scrub_out: io.TextIOBase = gzip.open(
+            scrubbed_path, "wt", compresslevel=fcfg.gzip_level
+        )
+    else:
+        scrub_out = io.StringIO()
+    try:
+        _, kept_idx = run_filter(
+            table, min_fraction=fcfg.min_fraction,
+            independent=fcfg.independent, out=scrub_out, err=err,
+            return_indices=True,
+        )
+    finally:
+        scrub_out.close()
+    return order[kept_idx]
 
 
 def run_pipeline(
@@ -76,7 +114,6 @@ def run_pipeline(
     from strainer2_tpu.pipeline.coverage import run_coverage_depth
     from strainer2_tpu.pipeline.detect import DetectConfig, StrainDetector
     from strainer2_tpu.pipeline.engine import KmerEngine
-    from strainer2_tpu.pipeline.filter import KeyRows, ScrubTable, run_filter
     from strainer2_tpu.pipeline.scrub_count import (
         ScrubCountConfig,
         _count_panel,
@@ -121,36 +158,12 @@ def run_pipeline(
 
     # ---- stage 2: filter on the in-memory table (reference row order) ----
     with stage("fused.filter"):
-        key_mat = decode_codes_matrix_np(index.codes[order], index.k)
-        keys = KeyRows(
-            np.ascontiguousarray(key_mat).reshape(-1),
-            np.arange(key_mat.shape[0] + 1, dtype=np.int64) * index.k,
-        )
-        table = ScrubTable(
-            keys=keys,
-            strain=index.genome_counts[order].astype(np.int64),
-            pan=col_pan[order].astype(np.int64),
-            meta=col_meta[order].astype(np.int64),
-            drug_mask=(col_drug[order] > 0) if col_drug is not None
-            else np.zeros(len(keys), dtype=bool),
-            has_drug=col_drug is not None,
-        )
-        if fcfg.write_scrubbed:
-            scrub_out: io.TextIOBase = gzip.open(
-                paths["scrubbed"], "wt", compresslevel=fcfg.gzip_level
-            )
-        else:
-            scrub_out = io.StringIO()
+        if not fcfg.write_scrubbed:
             paths["scrubbed"] = None
-        try:
-            _, kept_idx = run_filter(
-                table, min_fraction=fcfg.min_fraction,
-                independent=fcfg.independent, out=scrub_out, err=err,
-                return_indices=True,
-            )
-        finally:
-            scrub_out.close()
-    informative_keys = order[kept_idx]
+        informative_keys = _filter_in_memory(
+            index, order, col_pan, col_meta, col_drug,
+            paths["scrubbed"], fcfg, err,
+        )
 
     # ---- stages 3+4: detect on the shared index, then coverage ----
     det = StrainDetector(
@@ -168,3 +181,98 @@ def run_pipeline(
             background_metagenomes_file=coverage_background_list, out=f,
         )
     return paths
+
+
+def run_multi_pipeline(
+    r_files: list,
+    a_list: str,
+    b_list: str,
+    target_list: str,
+    out_dir: str,
+    c_list: str | None = None,
+    background_list: str | None = None,
+    coverage_background_list: str | None = None,
+    fused_cfg: FusedConfig | None = None,
+    progress=None,
+    err=None,
+    stdout=None,
+) -> list:
+    """Fused pipeline for S strains: ONE shared scan of the -A/-B/-C panels
+    (the union-index trick of pipeline/multi_scrub.py), per-strain in-memory
+    filters, then multi-strain detection (16 strains per target-stream pass,
+    pipeline/multi_detect.py) and per-strain coverage metrics.
+
+    Per-strain outputs are byte-identical to S independent staged runs; the
+    panels and the target metagenomes are each read once instead of S times
+    — the fused form of the reference's one-Snakemake-job-per-strain fan-out
+    (reference test/Snakemake.strain_detect:23-50).
+    """
+    from strainer2_tpu.pipeline.coverage import run_coverage_depth
+    from strainer2_tpu.pipeline.detect import DetectConfig
+    from strainer2_tpu.pipeline.multi_detect import (
+        MAX_STRAINS_PER_PASS,
+        MultiStrainDetector,
+    )
+    from strainer2_tpu.pipeline.multi_scrub import multi_scrub_counts
+    from strainer2_tpu.pipeline.scrub_count import ScrubCountConfig, write_scrub_table
+    from strainer2_tpu.utils.observability import stage
+
+    fcfg = fused_cfg or FusedConfig()
+    err = err if err is not None else sys.stderr
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = ScrubCountConfig()
+
+    def out_path(r_file: str, suffix: str):
+        return os.path.join(out_dir, _stem(r_file) + suffix)
+
+    with stage("fused.multi_scrub"):
+        strain_indexes, columns = multi_scrub_counts(
+            r_files, a_list, b_list, c_list, cfg, progress
+        )
+
+    all_paths = []
+    prebuilt = []
+    for r_file, index, (col_pan, col_meta, col_drug) in zip(
+        r_files, strain_indexes, columns
+    ):
+        paths = {
+            "counts": out_path(r_file, ".scrub_kmer_counts.gz"),
+            "scrubbed": out_path(r_file, ".scrubbed_kmers.gz"),
+            "hits": out_path(r_file, ".kmer_hits.gz"),
+            "coverage": out_path(r_file, ".coverage_depth"),
+        }
+        order = reference_row_order(index.codes, index.k)
+        if fcfg.write_counts:
+            with gzip.open(paths["counts"], "wt", compresslevel=fcfg.gzip_level) as f:
+                write_scrub_table(f, index, col_pan, col_meta, col_drug, order=order)
+        else:
+            paths["counts"] = None
+        if not fcfg.write_scrubbed:
+            paths["scrubbed"] = None
+        with stage("fused.filter"):
+            informative = _filter_in_memory(
+                index, order, col_pan, col_meta, col_drug,
+                paths["scrubbed"], fcfg, err,
+            )
+        prebuilt.append((r_file, index, informative))
+        all_paths.append(paths)
+
+    for start in range(0, len(prebuilt), MAX_STRAINS_PER_PASS):
+        chunk = prebuilt[start : start + MAX_STRAINS_PER_PASS]
+        det = MultiStrainDetector(
+            [], DetectConfig(k=cfg.k),
+            stdout=stdout if stdout is not None else sys.stdout,
+            background_list=background_list, prebuilt=chunk,
+        )
+        det.quantify_all(
+            [p["hits"] for p in all_paths[start : start + len(chunk)]], target_list
+        )
+
+    with stage("fused.coverage"):
+        for paths in all_paths:
+            with open(paths["coverage"], "w") as f:
+                run_coverage_depth(
+                    paths["hits"], min_kmer_hits=fcfg.min_kmer_hits,
+                    background_metagenomes_file=coverage_background_list, out=f,
+                )
+    return all_paths

@@ -73,7 +73,14 @@ class MultiStrainDetector:
     """Score several strains against shared target streams in one pass."""
 
     def __init__(self, strains: list[tuple[str, str]], cfg: DetectConfig | None = None,
-                 stdout: IO | None = None, background_list: str | None = None):
+                 stdout: IO | None = None, background_list: str | None = None,
+                 prebuilt: "list[tuple[str, object, np.ndarray]] | None" = None):
+        """strains: (genome, scrubbed-kmer-file) pairs.  The fused
+        multi-strain pipeline instead passes ``prebuilt`` — (genome,
+        StrainIndex, informative key indices) triples — skipping the
+        genome re-scans and the scrubbed-file round trips."""
+        if prebuilt is not None:
+            strains = [(r, None) for r, _, _ in prebuilt]
         if not 1 <= len(strains) <= MAX_STRAINS_PER_PASS:
             raise ValueError(f"1..{MAX_STRAINS_PER_PASS} strains per pass")
         self.cfg = cfg or DetectConfig()
@@ -89,8 +96,12 @@ class MultiStrainDetector:
         self.states: list[_StrainState] = []
         per_strain_codes: list[np.ndarray] = []
         per_strain_types: list[np.ndarray] = []
-        for r_file, a_file in strains:
-            det = StrainDetector(r_file, a_file, self.cfg, stdout=self.stdout)
+        for s, (r_file, a_file) in enumerate(strains):
+            det = StrainDetector(
+                r_file, a_file, self.cfg, stdout=self.stdout,
+                index=prebuilt[s][1] if prebuilt is not None else None,
+                informative_keys=prebuilt[s][2] if prebuilt is not None else None,
+            )
             order = np.argsort(det.index.codes, kind="stable")
             self.states.append(
                 _StrainState(

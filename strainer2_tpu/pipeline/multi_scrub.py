@@ -33,29 +33,31 @@ from strainer2_tpu.pipeline.scrub_count import (
     write_scrub_table,
 )
 
-__all__ = ["run_multi_scrub"]
+__all__ = ["run_multi_scrub", "multi_scrub_counts"]
 
 
-def run_multi_scrub(
+def multi_scrub_counts(
     r_files: list[str],
     a_list: str,
     b_list: str,
     c_list: str | None,
-    outs: list[IO],
-    cfg: ScrubCountConfig | None = None,
+    cfg: ScrubCountConfig,
     progress: IO | None = None,
-) -> None:
-    """Emit one reference-identical scrub-count table per strain from one
-    shared scan of the -A/-B (and -C) panels."""
+    strain_indexes: "list[StrainIndex] | None" = None,
+):
+    """ONE shared panel scan over the union of S strains' k-mer sets.
+
+    Returns (strain_indexes, per-strain (col_pan, col_meta, col_drug)
+    column triples) with counts identical to S independent scans."""
     import jax.numpy as jnp
 
-    cfg = cfg or ScrubCountConfig()
     engine = KmerEngine(cfg.k)
 
     # per-strain indexes (own k-mer sets + genome occurrence counts)
-    strain_indexes = [
-        StrainIndex.from_fasta(r, engine, cfg.rows, cfg.row_len) for r in r_files
-    ]
+    if strain_indexes is None:
+        strain_indexes = [
+            StrainIndex.from_fasta(r, engine, cfg.rows, cfg.row_len) for r in r_files
+        ]
     union_codes = np.unique(np.concatenate([ix.codes for ix in strain_indexes]))
     union = StrainIndex.from_scan_codes(union_codes, k=cfg.k)
 
@@ -97,13 +99,32 @@ def run_multi_scrub(
     order = np.argsort(union.codes, kind="stable")
     sorted_codes = union.codes[order]
 
-    for ix, r_file, out in zip(strain_indexes, r_files, outs):
+    columns = []
+    for ix, r_file in zip(strain_indexes, r_files):
         pos = order[np.searchsorted(sorted_codes, ix.codes)]
-        col_pan = pan_union[pos]
-        col_meta = meta_union[pos]
         col_drug = None
         if drug_union is not None:
             col_drug = drug_union[pos] - own_contrib[r_file][pos]
+        columns.append((pan_union[pos], meta_union[pos], col_drug))
+    return strain_indexes, columns
+
+
+def run_multi_scrub(
+    r_files: list[str],
+    a_list: str,
+    b_list: str,
+    c_list: str | None,
+    outs: list[IO],
+    cfg: ScrubCountConfig | None = None,
+    progress: IO | None = None,
+) -> None:
+    """Emit one reference-identical scrub-count table per strain from one
+    shared scan of the -A/-B (and -C) panels."""
+    cfg = cfg or ScrubCountConfig()
+    strain_indexes, columns = multi_scrub_counts(
+        r_files, a_list, b_list, c_list, cfg, progress
+    )
+    for ix, (col_pan, col_meta, col_drug), out in zip(strain_indexes, columns, outs):
         write_scrub_table(
             out, ix, col_pan, col_meta, col_drug, reference_order=cfg.reference_order
         )

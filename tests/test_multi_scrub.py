@@ -50,3 +50,53 @@ def test_multi_scrub_with_drug_panel_and_own_file_skip(capsys):
                     "data/drugs.txt", outs)
     for i, o in enumerate(outs):
         assert o.bytes() == singles[i], f"strain {i}"
+
+
+def test_fused_multi_pipeline_matches_staged_per_strain(tmp_path):
+    """run_multi_pipeline's per-strain artifacts equal S independent
+    staged runs (scrub -> filter -> detect -> coverage)."""
+    import gzip
+
+    from strainer2_tpu.pipeline.coverage import run_coverage_depth
+    from strainer2_tpu.pipeline.detect import run_detect
+    from strainer2_tpu.pipeline.filter import parse_scrub_tables, run_filter
+    from strainer2_tpu.pipeline.fused import FusedConfig, run_multi_pipeline
+
+    r_files = ["data/strainA.fna.gz", "data/drug1.fna.gz"]
+
+    # staged per-strain expectations
+    staged = []
+    for i, r in enumerate(r_files):
+        counts = tmp_path / f"c{i}.tsv"
+        counts.write_bytes(_single(r))
+        scrub_out = _Out()
+        run_filter(parse_scrub_tables([str(counts)]), min_fraction=0.05,
+                   out=scrub_out, err=io.StringIO())
+        scrubbed = tmp_path / f"s{i}.txt"
+        scrubbed.write_bytes(scrub_out.bytes())
+        hits = tmp_path / f"h{i}.gz"
+        run_detect(r, str(scrubbed), str(hits), batch_list="data/targets.txt",
+                   stdout=_Out())
+        cov = _Out()
+        run_coverage_depth(str(hits), out=cov)
+        with gzip.open(hits, "rb") as f:
+            staged.append((scrub_out.bytes(), f.read(), cov.bytes()))
+
+    out_dir = tmp_path / "fusedm"
+    all_paths = run_multi_pipeline(
+        r_files, "data/genomes.txt", "data/metagenomes.txt",
+        "data/targets.txt", str(out_dir),
+        fused_cfg=FusedConfig(min_fraction=0.05),
+        err=io.StringIO(), stdout=_Out(),
+    )
+    for paths, (exp_scrubbed, exp_hits, _) in zip(all_paths, staged):
+        with gzip.open(paths["scrubbed"], "rb") as f:
+            assert f.read() == exp_scrubbed
+        with gzip.open(paths["hits"], "rb") as f:
+            assert f.read() == exp_hits
+        # coverage derives names from the hits FILENAME, so compare against
+        # a staged coverage run on the fused hits file itself
+        cov = _Out()
+        run_coverage_depth(paths["hits"], out=cov)
+        with open(paths["coverage"], "rb") as f:
+            assert f.read() == cov.bytes()
