@@ -50,9 +50,17 @@ cp tpu_hits.gz "$STRAIN.kmer_hits.gz"
 python -m strainer2_tpu.cli.coverage_depth -k "$STRAIN.kmer_hits.gz" > tpu_coverage.tsv 2>/dev/null
 rm "$STRAIN.kmer_hits.gz"
 
+echo "== strainer2-tpu fused one-process pipeline =="
+python -m strainer2_tpu.cli.strainer2_tools pipeline -r strains/$STRAIN.fna.gz \
+    -A genomes_to_scrub.txt -B metagenomes_to_scrub.txt \
+    -T target_metagenomes.txt -m 0.01 -o fused 2>/dev/null
+
 echo "== comparing =="
 cmp ref_counts.tsv tpu_counts.tsv && echo "scrub count table: IDENTICAL"
 cmp ref_scrubbed.txt tpu_scrubbed.txt && echo "informative k-mer set: IDENTICAL"
 cmp <(zcat ref_hits.gz) <(zcat tpu_hits.gz) && echo "detection hits payload: IDENTICAL"
 cmp ref_coverage.tsv tpu_coverage.tsv && echo "coverage/depth metrics: IDENTICAL"
+cmp ref_counts.tsv <(zcat "fused/$STRAIN.scrub_kmer_counts.gz") && echo "fused counts: IDENTICAL"
+cmp ref_scrubbed.txt <(zcat "fused/$STRAIN.scrubbed_kmers.gz") && echo "fused informative set: IDENTICAL"
+cmp <(zcat ref_hits.gz) <(zcat "fused/$STRAIN.kmer_hits.gz") && echo "fused hits payload: IDENTICAL"
 echo "ALL STAGES BYTE-IDENTICAL"
