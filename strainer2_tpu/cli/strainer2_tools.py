@@ -129,8 +129,8 @@ def main(argv: list[str] | None = None) -> int:
                                max_reads=args.max_reads, out=sys.stdout)
     elif args.cmd == "detect-multi":
         import os
-        import re
 
+        from strainer2_tpu.pipeline.fused import _stem
         from strainer2_tpu.pipeline.multi_detect import (
             MAX_STRAINS_PER_PASS,
             MultiStrainDetector,
@@ -148,13 +148,12 @@ def main(argv: list[str] | None = None) -> int:
             det = MultiStrainDetector(chunk, background_list=args.background_list)
             outs = []
             for r, _ in chunk:
-                stem = re.sub(r"\.(fna|fasta|fa)(\.gz)?$", "", os.path.basename(r))
-                outs.append(os.path.join(args.out_dir, stem + ".kmer_hits.gz"))
+                outs.append(os.path.join(args.out_dir, _stem(r) + ".kmer_hits.gz"))
             det.quantify_all(outs, args.batch_list)
     elif args.cmd == "scrub-multi":
         import os
-        import re
 
+        from strainer2_tpu.pipeline.fused import _stem
         from strainer2_tpu.pipeline.multi_scrub import run_multi_scrub
         from strainer2_tpu.pipeline.scrub_count import read_list_file
 
@@ -165,8 +164,7 @@ def main(argv: list[str] | None = None) -> int:
             progress.write("adding kmer counts for:\n")
         outs = []
         for r in r_files:
-            stem = re.sub(r"\.(fna|fasta|fa)(\.gz)?$", "", os.path.basename(r))
-            outs.append(open(os.path.join(args.out_dir, stem + ".scrub_kmer_counts.tsv"), "w"))
+            outs.append(open(os.path.join(args.out_dir, _stem(r) + ".scrub_kmer_counts.tsv"), "w"))
         try:
             run_multi_scrub(r_files, args.a_list, args.b_list, args.c_list, outs,
                             progress=progress)

@@ -263,6 +263,8 @@ def unique_encounter_native(codes: np.ndarray):
     m = lib.s2_unique_encounter(
         codes.ctypes.data, codes.shape[0], out_codes.ctypes.data, out_counts.ctypes.data
     )
+    if m < 0:
+        raise MemoryError("unique_encounter: hash table allocation failed")
     return out_codes[:m].copy(), out_counts[:m].copy()
 
 
@@ -300,6 +302,8 @@ def parse_scrub_table_native(path: str):
         raise OSError(f"cannot open {path}")
     try:
         n = lib.s2_parse_scrub_rows(h)
+        if n == -2:
+            raise OSError(f"corrupt or truncated gzip stream in {path}")
         if n < 0:
             raise ValueError(f"malformed scrub-count row in {path}")
         blob = np.empty(lib.s2_parse_scrub_blob_size(h), dtype=np.uint8)

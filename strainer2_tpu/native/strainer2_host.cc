@@ -608,10 +608,13 @@ struct ScrubParse {
   std::vector<int64_t> offsets;   // n+1 key boundaries into blob
   std::vector<int64_t> c1, c2, c3, c4;
   bool has_drug = false;
-  bool bad_row = false;           // a data row with < 4 columns
+  bool bad_row = false;           // a malformed data row
+  bool io_error = false;          // gzread failure (corrupt/truncated gzip)
 };
 
 // Decimal field at q (optionally negative); advances past the digits.
+// Returns nullptr when the field has no digits (the Python twin's int()
+// raises there — both parse routes must reject the same inputs).
 static inline const char* parse_dec(const char* q, const char* e, long long* out) {
   bool neg = false;
   if (q < e && *q == '-') {
@@ -619,7 +622,9 @@ static inline const char* parse_dec(const char* q, const char* e, long long* out
     ++q;
   }
   long long v = 0;
+  const char* digits = q;
   while (q < e && (unsigned char)(*q - '0') <= 9u) v = v * 10 + (*q++ - '0');
+  if (q == digits) return nullptr;
   *out = neg ? -v : v;
   return q;
 }
@@ -639,8 +644,15 @@ static void parse_scrub_row(const char* s, const char* e, ScrubParse* p) {
   int nf = 0;
   const char* q = tab + 1;
   while (nf < 4 && q < e) {
-    q = parse_dec(q, e, &v[nf++]);
-    if (q >= e || *q != '\t') break;
+    q = parse_dec(q, e, &v[nf]);
+    // a numeric field must fill [q, next-tab-or-EOL) exactly — '3x', '-',
+    // or an empty field raise in the Python twin and must fail here too
+    if (q == nullptr || (q < e && *q != '\t')) {
+      nf = 0;
+      break;
+    }
+    ++nf;
+    if (q >= e) break;
     ++q;
   }
   if (nf < 3) {
@@ -674,6 +686,13 @@ void* s2_parse_scrub_open(const char* path) {
   while (!done && !p->bad_row) {
     int nread = gzread(f, buf.data(), (unsigned)buf.size() - 1);
     if (nread <= 0) {
+      if (nread < 0) {
+        p->io_error = true;  // decompression error: do NOT treat as EOF
+      } else {
+        int errnum = 0;
+        gzerror(f, &errnum);
+        if (errnum != Z_OK && errnum != Z_STREAM_END) p->io_error = true;
+      }
       done = true;
       nread = 0;
     }
@@ -704,6 +723,7 @@ void* s2_parse_scrub_open(const char* path) {
 
 long long s2_parse_scrub_rows(void* h) {
   auto* p = static_cast<ScrubParse*>(h);
+  if (p->io_error) return -2;
   if (p->bad_row) return -1;
   return (long long)p->c1.size();
 }

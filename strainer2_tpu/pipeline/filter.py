@@ -143,6 +143,8 @@ def parse_scrub_tables(paths: Sequence[str]) -> ScrubTable:
     from the third file onward (reference kmer_scrub_filter.py:168-201,
     including its off-by-one that never compares file 2 against file 1).
     """
+    if not paths:
+        sys.exit("error: no scrub-count files to parse")
     # Fast path: native parse + element-wise aggregation.  Valid whenever
     # every file carries the same key column (guaranteed for tables written
     # by kmer_scrub_count over one strain — the reference's own multi-file

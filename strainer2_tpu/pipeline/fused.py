@@ -53,7 +53,22 @@ class FusedConfig:
 
 
 def _stem(path: str) -> str:
+    """Genome-file output stem (the one place this naming rule lives —
+    the staged CLIs import it too so artifact names can't diverge)."""
     return re.sub(r"\.(fna|fasta|fa)(\.gz)?$", "", os.path.basename(path))
+
+
+class _NullTextSink:
+    """Text sink that discards writes (write_scrubbed=False path)."""
+
+    def write(self, s):
+        return len(s)
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
 
 
 def _filter_in_memory(index, order, col_pan, col_meta, col_drug,
@@ -78,11 +93,9 @@ def _filter_in_memory(index, order, col_pan, col_meta, col_drug,
         has_drug=col_drug is not None,
     )
     if scrubbed_path:
-        scrub_out: io.TextIOBase = gzip.open(
-            scrubbed_path, "wt", compresslevel=fcfg.gzip_level
-        )
+        scrub_out = gzip.open(scrubbed_path, "wt", compresslevel=fcfg.gzip_level)
     else:
-        scrub_out = io.StringIO()
+        scrub_out = _NullTextSink()  # don't render megabytes just to discard
     try:
         _, kept_idx = run_filter(
             table, min_fraction=fcfg.min_fraction,
@@ -221,6 +234,15 @@ def run_multi_pipeline(
     err = err if err is not None else sys.stderr
     os.makedirs(out_dir, exist_ok=True)
     cfg = ScrubCountConfig()
+
+    stems = [_stem(r) for r in r_files]
+    if len(set(stems)) != len(stems):
+        dup = sorted({s for s in stems if stems.count(s) > 1})
+        raise ValueError(
+            "strain genomes map to duplicate output stems "
+            f"{dup}: outputs would overwrite each other (rename the files "
+            "or run them in separate output directories)"
+        )
 
     def out_path(r_file: str, suffix: str):
         return os.path.join(out_dir, _stem(r_file) + suffix)

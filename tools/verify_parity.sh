@@ -63,4 +63,5 @@ cmp ref_coverage.tsv tpu_coverage.tsv && echo "coverage/depth metrics: IDENTICAL
 cmp ref_counts.tsv <(zcat "fused/$STRAIN.scrub_kmer_counts.gz") && echo "fused counts: IDENTICAL"
 cmp ref_scrubbed.txt <(zcat "fused/$STRAIN.scrubbed_kmers.gz") && echo "fused informative set: IDENTICAL"
 cmp <(zcat ref_hits.gz) <(zcat "fused/$STRAIN.kmer_hits.gz") && echo "fused hits payload: IDENTICAL"
+cmp ref_coverage.tsv "fused/$STRAIN.coverage_depth" && echo "fused coverage/depth metrics: IDENTICAL"
 echo "ALL STAGES BYTE-IDENTICAL"
