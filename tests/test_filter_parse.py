@@ -143,3 +143,31 @@ def test_run_filter_same_output_native_and_python(tmp_path):
         flt.run_filter(t, min_fraction=0.1, out=out, err=io.StringIO())
         outs.append(out.getvalue())
     assert outs[0] == outs[1]
+
+
+def test_corrupt_gzip_raises(tmp_path):
+    import gzip as _gz
+
+    data = b"".join(b"ACGTACG\t%d\t%d\t%d\n" % (i, i, i) for i in range(1000))
+    blob = bytearray(_gz.compress(data))
+    blob[-4] ^= 0xFF  # damage the CRC trailer
+    p = tmp_path / "t.gz"
+    p.write_bytes(bytes(blob))
+    from strainer2_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    with pytest.raises(OSError):
+        flt.parse_scrub_tables([str(p)])
+
+
+@pytest.mark.parametrize("row", ["ACGTACG\t1\t2\t3x\n", "ACGTACG\t-\t2\t3\n", "ACGTACG\t\t2\t3\n"])
+def test_malformed_numeric_fields_raise(tmp_path, row):
+    p = _write(tmp_path / "t.tsv", row)
+    with pytest.raises((ValueError, SystemExit)):
+        flt.parse_scrub_tables([p])
+
+
+def test_empty_path_list_exits():
+    with pytest.raises(SystemExit):
+        flt.parse_scrub_tables([])
