@@ -116,6 +116,26 @@ class StrainIndex:
         return cls(k=k, codes=codes, genome_counts=genome_counts, table=table)
 
     @classmethod
+    def from_unique_codes(cls, codes: np.ndarray, k: int = DEFAULT_K,
+                          layout: str | None = None) -> "StrainIndex":
+        """Build from codes already known to be distinct (e.g. a union of
+        per-strain key sets) — skips the first-encounter unique pass."""
+        if layout is None:
+            from strainer2_tpu.pipeline.engine import default_layout
+
+            layout = default_layout()
+        codes = np.asarray(codes, dtype=np.uint64)
+        if codes.size == 0:
+            raise ValueError("no valid k-mers found in genome")
+        if layout == "bucket":
+            table = build_bucket_table(codes, k)
+        else:
+            table = build_cuckoo(codes, k)
+        return cls(k=k, codes=codes,
+                   genome_counts=np.ones(codes.shape[0], dtype=np.uint32),
+                   table=table)
+
+    @classmethod
     def from_fasta(cls, path: str, engine, rows: int = DEFAULT_ROWS,
                    row_len: int = DEFAULT_ROW_LEN) -> "StrainIndex":
         return cls.from_scan_codes(

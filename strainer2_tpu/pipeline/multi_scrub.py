@@ -59,7 +59,7 @@ def multi_scrub_counts(
             StrainIndex.from_fasta(r, engine, cfg.rows, cfg.row_len) for r in r_files
         ]
     union_codes = np.unique(np.concatenate([ix.codes for ix in strain_indexes]))
-    union = StrainIndex.from_scan_codes(union_codes, k=cfg.k)
+    union = StrainIndex.from_unique_codes(union_codes, k=cfg.k)
 
     def count_list(paths: list[str]):
         counts = jnp.zeros(union.table.num_slots, dtype=jnp.uint32)
