@@ -152,6 +152,20 @@ class StrainIndex:
     def num_kmers(self) -> int:
         return self.codes.shape[0]
 
+    def native_counter(self):
+        """Host-side fused panel counter over this index (cached); None
+        when the native library is unavailable."""
+        if not hasattr(self, "_native_counter"):
+            try:
+                from strainer2_tpu.native import NativePanelCounter
+
+                self._native_counter = NativePanelCounter(
+                    self.codes, self.table.slot_of_key, self.k
+                )
+            except (RuntimeError, MemoryError):
+                self._native_counter = None
+        return self._native_counter
+
     def device_table(self):
         """Device-resident membership table (uploaded once, cached).
 

@@ -96,6 +96,13 @@ def _load():
         lib.s2_parse_scrub_has_drug.argtypes = [ctypes.c_void_p]
         lib.s2_parse_scrub_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
         lib.s2_parse_scrub_close.argtypes = [ctypes.c_void_p]
+        lib.s2_count_build.restype = ctypes.c_void_p
+        lib.s2_count_build.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong]
+        lib.s2_count_file.restype = ctypes.c_longlong
+        lib.s2_count_file.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.s2_count_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -317,3 +324,44 @@ def parse_scrub_table_native(path: str):
         return blob, offsets, cols[0], cols[1], cols[2], cols[3], has_drug
     finally:
         lib.s2_parse_scrub_close(h)
+
+
+class NativePanelCounter:
+    """Fused scan+lookup+count over one panel file (CPU fast path).
+
+    Exact same counting semantics as the device engine: canonical-max
+    windows, exact membership against the index key set, integer adds into
+    the slot-indexed count array — so results are bit-identical.
+    """
+
+    def __init__(self, codes: np.ndarray, slot_of_key: np.ndarray, k: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.k = k
+        codes = np.ascontiguousarray(codes, dtype=np.uint64)
+        slots = np.ascontiguousarray(slot_of_key, dtype=np.int32)
+        self._h = lib.s2_count_build(
+            codes.ctypes.data, slots.ctypes.data, codes.shape[0]
+        )
+        if not self._h:
+            raise MemoryError("native count table allocation failed")
+
+    def count_file(self, counts: np.ndarray, path: str) -> int:
+        """In-place counts[slot] += hits; returns valid windows evaluated."""
+        assert counts.dtype == np.uint32 and counts.flags.c_contiguous
+        n = self._lib.s2_count_file(
+            self._h, path.encode(), self.k, counts.ctypes.data
+        )
+        if n < 0:
+            raise OSError(f"could not read file {path}")
+        return int(n)
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.s2_count_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()

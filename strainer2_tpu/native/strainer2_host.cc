@@ -990,3 +990,119 @@ int s2_build_bucket(const uint64_t* codes, long long n, int k, int h_bits,
 }
 
 }  // extern "C"
+
+// ---- native panel counting (CPU fast path) ----------------------------------
+//
+// Fuses the rolling canonical scan with a prefetched exact-hash membership
+// lookup and slot-count increment — the whole kmer_scrub_count hot loop
+// (reference src/genome_compare.c:179-236) in one pass over the file, no
+// batch buffers.  Counts are integer adds into the same slot-indexed array
+// the XLA engine uses, so results are bit-identical by construction.
+
+extern "C" {
+
+struct CountTable {
+  struct Rec {
+    uint64_t code;   // 0 = empty (a canonical-max code can never be 0)
+    int32_t slot;
+    int32_t pad;
+  };
+  Rec* recs;
+  size_t bytes;
+  size_t cap;
+  int bits;
+  int32_t zero_slot;  // slot for the literal key 0 (generic-input safety)
+};
+
+void* s2_count_build(const uint64_t* codes, const int32_t* slot_of_key,
+                     long long n) {
+  auto* t = new CountTable();
+  int bits = 3;
+  while ((1LL << bits) < 2 * n) ++bits;
+  t->bits = bits;
+  t->cap = (size_t)1 << bits;
+  t->bytes = t->cap * sizeof(CountTable::Rec);
+  void* mem = mmap(nullptr, t->bytes, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (mem == MAP_FAILED) {
+    delete t;
+    return nullptr;
+  }
+  madvise(mem, t->bytes, MADV_HUGEPAGE);
+  t->recs = static_cast<CountTable::Rec*>(mem);
+  t->zero_slot = -1;
+  const size_t mask = t->cap - 1;
+  const auto hash = [bits](uint64_t c) {
+    return (size_t)((c * 0x9E3779B97F4A7C15ULL) >> (64 - bits));
+  };
+  constexpr long long kAhead = 12;
+  for (long long i = 0; i < n; ++i) {
+    if (i + kAhead < n)
+      __builtin_prefetch(&t->recs[hash(codes[i + kAhead])], 1, 1);
+    const uint64_t c = codes[i];
+    if (c == 0) {
+      t->zero_slot = slot_of_key[i];
+      continue;
+    }
+    size_t p = hash(c);
+    while (t->recs[p].code != 0) p = (p + 1) & mask;
+    t->recs[p].code = c;
+    t->recs[p].slot = slot_of_key[i];
+  }
+  return t;
+}
+
+// Scan one FASTA/FASTQ(.gz) file, counting hits into counts[slot].
+// Returns the number of valid windows evaluated, or -1 on I/O error.
+long long s2_count_file(void* th, const char* path, int k, uint32_t* counts) {
+  auto* t = static_cast<CountTable*>(th);
+  void* s = s2_open_scan(path, k);
+  if (!s2_scan_ok(s)) {
+    s2_close_scan(s);
+    return -1;
+  }
+  std::vector<uint64_t> buf((size_t)1 << 16);
+  long long total = 0;
+  const int bits = t->bits;
+  const size_t mask = t->cap - 1;
+  const auto hash = [bits](uint64_t c) {
+    return (size_t)((c * 0x9E3779B97F4A7C15ULL) >> (64 - bits));
+  };
+  constexpr long long kAhead = 12;
+  while (true) {
+    long long n = s2_scan_next(s, buf.data(), (long long)buf.size());
+    if (n <= 0) break;
+    total += n;
+    for (long long i = 0; i < n; ++i) {
+      if (i + kAhead < n)
+        __builtin_prefetch(&t->recs[hash(buf[(size_t)(i + kAhead)])], 0, 1);
+      const uint64_t c = buf[(size_t)i];
+      if (c == 0) {
+        if (t->zero_slot >= 0) ++counts[t->zero_slot];
+        continue;
+      }
+      size_t p = hash(c);
+      for (;;) {
+        const uint64_t cur = t->recs[p].code;
+        if (cur == c) {
+          ++counts[t->recs[p].slot];
+          break;
+        }
+        if (cur == 0) break;  // not an indexed k-mer
+        p = (p + 1) & mask;
+      }
+    }
+  }
+  s2_close_scan(s);
+  return total;
+}
+
+void s2_count_free(void* th) {
+  auto* t = static_cast<CountTable*>(th);
+  if (t) {
+    munmap(t->recs, t->bytes);
+    delete t;
+  }
+}
+
+}  // extern "C"

@@ -71,6 +71,25 @@ def _progress_line(progress: IO | None, path: str) -> None:
         progress.flush()
 
 
+def _use_native_counting(engine) -> bool:
+    """CPU fast path: the fused native scan+count loop beats the XLA CPU
+    gather/scatter engine (docs/PERFORMANCE.md).  Device backends and the
+    sharded engine keep the jit path.  STRAINER2_NATIVE_COUNT=0 disables."""
+    import os
+
+    if os.environ.get("STRAINER2_NATIVE_COUNT", "1") == "0":
+        return False
+    if type(engine) is not KmerEngine:
+        return False
+    from strainer2_tpu import native
+
+    if not native.available():
+        return False
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
 def count_panel_file(
     engine: KmerEngine,
     index: StrainIndex,
@@ -82,6 +101,21 @@ def count_panel_file(
     """Stream one panel file through the counting kernel."""
     from strainer2_tpu import native
     from strainer2_tpu.utils.observability import stage
+
+    if _use_native_counting(engine):
+        # index-like views (e.g. multi-detect's union view) may not carry one
+        nc_fn = getattr(index, "native_counter", None)
+        nc = nc_fn() if nc_fn is not None else None
+        if nc is not None:
+            from strainer2_tpu.utils import observability as _obs
+
+            counts_np = engine.finalize_counts(counts)
+            if not (counts_np.flags.c_contiguous and counts_np.flags.writeable):
+                counts_np = np.ascontiguousarray(counts_np)
+            with stage("scrub.panel_lookups"):
+                n = nc.count_file(counts_np, path)
+            _obs._items["scrub.panel_lookups"] += n
+            return counts_np
 
     table = engine.table_for(index)
     t = index.table
