@@ -103,6 +103,30 @@ def _load():
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
         ]
         lib.s2_count_free.argtypes = [ctypes.c_void_p]
+        lib.s2_open_classify.restype = ctypes.c_void_p
+        lib.s2_open_classify.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        lib.s2_classify_ok.restype = ctypes.c_int
+        lib.s2_classify_ok.argtypes = [ctypes.c_void_p]
+        lib.s2_classify_next.restype = ctypes.c_longlong
+        lib.s2_classify_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong,
+        ]
+        lib.s2_classify_state.restype = ctypes.c_int
+        lib.s2_classify_state.argtypes = [ctypes.c_void_p]
+        lib.s2_close_classify.argtypes = [ctypes.c_void_p]
+        lib.s2_open_extract.restype = ctypes.c_void_p
+        lib.s2_open_extract.argtypes = [ctypes.c_char_p]
+        lib.s2_extract_ok.restype = ctypes.c_int
+        lib.s2_extract_ok.argtypes = [ctypes.c_void_p]
+        lib.s2_extract_read.restype = ctypes.c_longlong
+        lib.s2_extract_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p, ctypes.c_longlong,
+        ]
+        lib.s2_close_extract.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -362,6 +386,112 @@ class NativePanelCounter:
         if getattr(self, "_h", None):
             self._lib.s2_count_free(self._h)
             self._h = None
+
+    def __del__(self):
+        self.close()
+
+
+class NativeClassifier:
+    """Per-read (length, total_hits, informative_hits) classifier over a
+    sample's read stream — the detection hot loop fused natively, with the
+    per-k-mer class (NON_INFORMATIVE/INFORMATIVE) as the hash value."""
+
+    def __init__(self, codes: np.ndarray, kmer_type: np.ndarray, k: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.k = k
+        codes = np.ascontiguousarray(codes, dtype=np.uint64)
+        values = np.ascontiguousarray(kmer_type, dtype=np.int32)
+        self._h = lib.s2_count_build(
+            codes.ctypes.data, values.ctypes.data, codes.shape[0]
+        )
+        if not self._h:
+            raise MemoryError("native classify table allocation failed")
+
+    def open_stream(self, f1: str, f2: str | None, mode: int,
+                    chunk: int = 1 << 16) -> "NativeClassifyStream":
+        """mode: 0 = SE, 1 = PE two-file, 2 = PEI interleaved."""
+        return NativeClassifyStream(self._lib, self._h, f1, f2, mode, self.k, chunk)
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.s2_count_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+
+class NativeClassifyStream:
+    PE2_ENDED_EARLY = 3
+
+    def __init__(self, lib, table, f1, f2, mode, k, chunk):
+        self._lib = lib
+        self.chunk = chunk
+        self._s = lib.s2_open_classify(
+            f1.encode(), f2.encode() if f2 else None, mode, k, table
+        )
+        if not lib.s2_classify_ok(self._s):
+            lib.s2_close_classify(self._s)
+            self._s = None
+            raise OSError(f"could not read file {f2 if f2 else f1}")
+
+    def __iter__(self):
+        try:
+            while True:
+                lens = np.empty(self.chunk, dtype=np.int64)
+                tot = np.empty(self.chunk, dtype=np.uint32)
+                inf = np.empty(self.chunk, dtype=np.uint32)
+                n = self._lib.s2_classify_next(
+                    self._s, lens.ctypes.data, tot.ctypes.data, inf.ctypes.data,
+                    self.chunk,
+                )
+                if n <= 0:
+                    return
+                yield lens[:n], tot[:n], inf[:n]
+        finally:
+            pass
+
+    @property
+    def state(self) -> int:
+        return self._lib.s2_classify_state(self._s) if self._s else 0
+
+    def close(self):
+        if getattr(self, "_s", None):
+            self._lib.s2_close_classify(self._s)
+            self._s = None
+
+    def __del__(self):
+        self.close()
+
+
+class NativeReadExtractor:
+    """Forward-only access to reads by ordinal (emission of passing reads)."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._s = lib.s2_open_extract(path.encode())
+        if not lib.s2_extract_ok(self._s):
+            lib.s2_close_extract(self._s)
+            self._s = None
+            raise OSError(f"could not read file {path}")
+
+    def read(self, ordinal: int, length: int) -> np.ndarray:
+        out = np.empty(max(length, 1), dtype=np.uint8)
+        n = self._lib.s2_extract_read(self._s, ordinal, out.ctypes.data, out.shape[0])
+        if n < 0:
+            raise OSError("read ordinal past end of file")
+        return out[:n]
+
+    def close(self):
+        if getattr(self, "_s", None):
+            self._lib.s2_close_extract(self._s)
+            self._s = None
 
     def __del__(self):
         self.close()

@@ -1106,3 +1106,192 @@ void s2_count_free(void* th) {
 }
 
 }  // extern "C"
+
+// ---- native detection classify (CPU fast path) -------------------------------
+//
+// Per-read (length, total_hits, informative_hits) over a target sample's
+// read stream — the quantify_hits_PE hot loop (reference
+// src/strain_detect.c:443-541) fused into one native pass: rolling
+// canonical windows + prefetched exact-hash lookup against a CountTable
+// whose values carry the per-k-mer class (NON_INFORMATIVE=1/INFORMATIVE=2).
+// The pair thresholds, summary statistics, and row emission stay in
+// Python, fed by these per-read rows (byte-identical aggregation: the
+// same integer counts in the same read order).
+
+extern "C" {
+
+struct ClassifyStream {
+  FastxReader* r1 = nullptr;
+  FastxReader* r2 = nullptr;
+  int mode = 0;  // 0 = SE, 1 = PE two-file, 2 = PEI (one file, interleaved)
+  int k = 31;
+  CountTable* table = nullptr;
+  int state = 0;  // 0 ok; 3 = PE2 ended before PE1
+  bool done = false;
+  std::vector<uint8_t> seq;
+  std::vector<uint64_t> codes;
+};
+
+static void classify_one_read(CountTable* t, const std::vector<uint8_t>& seq,
+                              int k, std::vector<uint64_t>& codes,
+                              uint32_t* tot, uint32_t* inf) {
+  codes.clear();
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const int rc_shift = 2 * (k - 1);
+  uint64_t fwd = 0, rc = 0;
+  int run = 0;
+  for (uint8_t b : seq) {
+    if (b > 3) {
+      run = 0;
+      continue;
+    }
+    fwd = ((fwd << 2) | b) & mask;
+    rc = (rc >> 2) | ((uint64_t)(3 - b) << rc_shift);
+    if (++run >= k) codes.push_back(fwd >= rc ? fwd : rc);
+  }
+  const int bits = t->bits;
+  const size_t cmask = t->cap - 1;
+  const auto hash = [bits](uint64_t c) {
+    return (size_t)((c * 0x9E3779B97F4A7C15ULL) >> (64 - bits));
+  };
+  constexpr long long kAhead = 12;
+  uint32_t n_tot = 0, n_inf = 0;
+  const long long n = (long long)codes.size();
+  for (long long i = 0; i < n; ++i) {
+    if (i + kAhead < n)
+      __builtin_prefetch(&t->recs[hash(codes[(size_t)(i + kAhead)])], 0, 1);
+    const uint64_t c = codes[(size_t)i];
+    if (c == 0) {
+      if (t->zero_slot >= 0) {
+        ++n_tot;
+        if (t->zero_slot == 2) ++n_inf;
+      }
+      continue;
+    }
+    size_t p = hash(c);
+    for (;;) {
+      const uint64_t cur = t->recs[p].code;
+      if (cur == c) {
+        ++n_tot;
+        if (t->recs[p].slot == 2) ++n_inf;
+        break;
+      }
+      if (cur == 0) break;
+      p = (p + 1) & cmask;
+    }
+  }
+  *tot = n_tot;
+  *inf = n_inf;
+}
+
+void* s2_open_classify(const char* p1, const char* p2, int mode, int k,
+                       void* table) {
+  auto* s = new ClassifyStream();
+  s->mode = mode;
+  s->k = k;
+  s->table = static_cast<CountTable*>(table);
+  s->r1 = new FastxReader(p1);
+  if (!s->r1->ok()) s->done = true;
+  if (mode == 1) {
+    s->r2 = new FastxReader(p2);
+    if (!s->r2->ok()) s->done = true;
+  }
+  return s;
+}
+
+int s2_classify_ok(void* h) {
+  auto* s = static_cast<ClassifyStream*>(h);
+  if (!s->r1->ok()) return 0;
+  if (s->mode == 1 && !s->r2->ok()) return 0;
+  return 1;
+}
+
+// Fill up to cap per-read rows (pairs stay atomic in paired modes).
+// Returns the row count (0 = end of stream; check s2_classify_state).
+long long s2_classify_next(void* h, int64_t* lens, uint32_t* tot,
+                           uint32_t* inf, long long cap) {
+  auto* s = static_cast<ClassifyStream*>(h);
+  if (s->done) return 0;
+  long long n = 0;
+  const long long step = (s->mode == 0) ? 1 : 2;
+  while (n + step <= cap) {
+    if (!s->r1->next(&s->seq)) {
+      s->done = true;
+      break;
+    }
+    lens[n] = (int64_t)s->seq.size();
+    classify_one_read(s->table, s->seq, s->k, s->codes, &tot[n], &inf[n]);
+    ++n;
+    if (s->mode == 1) {
+      if (!s->r2->next(&s->seq)) {
+        s->done = true;
+        s->state = 3;  // PE2 ended before PE1 (reference errors here)
+        break;
+      }
+      lens[n] = (int64_t)s->seq.size();
+      classify_one_read(s->table, s->seq, s->k, s->codes, &tot[n], &inf[n]);
+      ++n;
+    } else if (s->mode == 2) {
+      if (!s->r1->next(&s->seq)) {
+        s->done = true;  // odd read count: Python mirrors the reference error
+        break;
+      }
+      lens[n] = (int64_t)s->seq.size();
+      classify_one_read(s->table, s->seq, s->k, s->codes, &tot[n], &inf[n]);
+      ++n;
+    }
+  }
+  return n;
+}
+
+int s2_classify_state(void* h) {
+  return static_cast<ClassifyStream*>(h)->state;
+}
+
+void s2_close_classify(void* h) {
+  auto* s = static_cast<ClassifyStream*>(h);
+  delete s->r1;
+  delete s->r2;
+  delete s;
+}
+
+// ---- forward-only read extraction (emission of passing reads) ---------------
+
+struct ExtractStream {
+  FastxReader* reader = nullptr;
+  long long next_ordinal = 0;
+  std::vector<uint8_t> seq;
+};
+
+void* s2_open_extract(const char* path) {
+  auto* s = new ExtractStream();
+  s->reader = new FastxReader(path);
+  return s;
+}
+
+int s2_extract_ok(void* h) {
+  return static_cast<ExtractStream*>(h)->reader->ok() ? 1 : 0;
+}
+
+// Encoded bases of read #ordinal (0-based, ascending across calls).
+// Returns the read length (truncated to cap), or -1 past end of file.
+long long s2_extract_read(void* h, long long ordinal, uint8_t* out,
+                          long long cap) {
+  auto* s = static_cast<ExtractStream*>(h);
+  while (s->next_ordinal <= ordinal) {
+    if (!s->reader->next(&s->seq)) return -1;
+    ++s->next_ordinal;
+  }
+  long long n = (long long)s->seq.size();
+  if (n > cap) n = cap;
+  memcpy(out, s->seq.data(), (size_t)n);
+  return n;
+}
+
+void s2_close_extract(void* h) {
+  auto* s = static_cast<ExtractStream*>(h);
+  delete s->reader;
+  delete s;
+}
+
+}  // extern "C"

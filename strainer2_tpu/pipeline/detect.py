@@ -363,8 +363,118 @@ class StrainDetector:
             with_read_ids=True, group_size=group,
         )
 
+    def _native_classifier(self):
+        """Fused native per-read classifier (CPU fast path); None when the
+        jit engine should run (TPU backend, sharded mesh, or opt-out)."""
+        if not hasattr(self, "_native_cls"):
+            self._native_cls = None
+            from strainer2_tpu.pipeline.scrub_count import _use_native_counting
+
+            if self._sharded is None and _use_native_counting(self.engine):
+                try:
+                    from strainer2_tpu.native import NativeClassifier
+
+                    self._native_cls = NativeClassifier(
+                        self.index.codes, self.kmer_type, self.cfg.k
+                    )
+                except (RuntimeError, MemoryError):
+                    self._native_cls = None
+        return self._native_cls
+
+    def _quantify_sample_native(self, nc, f1: str, f2: str | None, ftype: int,
+                                out: IO) -> None:
+        """Native-classifier twin of _quantify_sample: same pair thresholds,
+        statistics, and emission — per-read rows come from one fused native
+        pass instead of packed jit batches."""
+        from strainer2_tpu.native import NativeClassifyStream, NativeReadExtractor
+
+        cfg = self.cfg
+        k = cfg.k
+        paired = ftype != NOT_PAIRED_END
+        mode = (1 if ftype == IS_PAIRED_END
+                else 2 if ftype == IS_PAIRED_END_INTERLEAVE else 0)
+        try:
+            stream = nc.open_stream(f1, f2, mode)
+        except OSError:
+            stream = None
+
+        total_kmers_evaluated = 0
+        total_reads_evaluated = 0
+        odd_interleave = False
+        pe2_early = False
+        base = 0
+        ex1 = ex2 = None
+        for lens, tot, inf in (stream or ()):
+            n = lens.size
+            wins = np.maximum(lens - k + 1, 0) * (lens >= k)
+            total_kmers_evaluated += int(wins.sum())
+            if paired:
+                if n % 2 and ftype == IS_PAIRED_END_INTERLEAVE:
+                    odd_interleave = True
+                pe1 = np.arange(0, n - (n % 2), 2)
+                total_reads_evaluated += int(np.count_nonzero(lens[pe1] >= k))
+                t1, i1 = tot[pe1], inf[pe1]
+                t2, i2 = tot[pe1 + 1], inf[pe1 + 1]
+            else:
+                total_reads_evaluated += int(np.count_nonzero(lens >= k))
+                pe1 = np.arange(n)
+                t1, i1 = tot, inf
+                t2 = np.zeros_like(t1)
+                i2 = np.zeros_like(i1)
+
+            passing = ((t1 + t2) >= cfg.min_hits_for_good_match) & (
+                (i1 + i2) >= cfg.min_hits_for_informative_read
+            )
+            for j in np.flatnonzero(passing):
+                r1 = base + int(pe1[j])
+                prefix = f"{f1}\t{t1[j]}\t{i1[j]}\t{t2[j]}\t{i2[j]}\t"
+                if ex1 is None:
+                    ex1 = NativeReadExtractor(f1)
+                    if ftype == IS_PAIRED_END:
+                        ex2 = NativeReadExtractor(f2)
+                if ftype == IS_PAIRED_END:
+                    self._emit_rows(
+                        out, prefix, ex1.read(r1 // 2, int(lens[pe1[j]]))
+                    )
+                    self._emit_rows(
+                        out, prefix, ex2.read(r1 // 2, int(lens[pe1[j] + 1]))
+                    )
+                else:
+                    self._emit_rows(out, prefix, ex1.read(r1, int(lens[pe1[j]])))
+                    if paired:  # PEI: mate is the next read in the same file
+                        self._emit_rows(
+                            out, prefix, ex1.read(r1 + 1, int(lens[pe1[j] + 1]))
+                        )
+            base += n
+        if stream is not None and stream.state == NativeClassifyStream.PE2_ENDED_EARLY:
+            pe2_early = True
+        for h in (ex1, ex2):
+            if h is not None:
+                h.close()
+        if stream is not None:
+            stream.close()
+        if pe2_early or odd_interleave:
+            f2_name = f2 if ftype == IS_PAIRED_END else f1
+            print(
+                f"reached end of PE2 ({f2_name}) before end of PE1 ({f1}), "
+                "check that file names are correct",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+
+        out.write("#%s\ttotal_kmer_evaluated\t%d\n" % (f1, total_kmers_evaluated))
+        out.write("#%s\ttotal_reads_evaluated\t%d\n" % (f1, total_reads_evaluated))
+        out.write("#%s\ttotal_genome_kmers\t%d\n" % (f1, self.total_genome_kmers))
+        out.write(
+            "#%s\ttotal_genome_informative_kmers\t%d\n" % (f1, self.total_genome_informative)
+        )
+
     def _quantify_sample(self, f1: str, f2: str | None, ftype: int, out: IO) -> None:
         from strainer2_tpu.io.batches import batch_read_grouping, read_codes_from_batch
+
+        nc = self._native_classifier()
+        if nc is not None:
+            return self._quantify_sample_native(nc, f1, f2, ftype, out)
 
         cfg = self.cfg
         k = cfg.k
