@@ -16,6 +16,10 @@ from typing import Iterator, Sequence
 
 import numpy as np
 
+class Pe2EndedEarlyError(IOError):
+    """PE2 stream ended before PE1 (reference src/strain_detect.c:501-504)."""
+
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libstrainer2host.so")
 _lock = threading.Lock()
@@ -237,10 +241,11 @@ class NativePackStream:
                 )
                 if n < 0:
                     buf = ctypes.create_string_buffer(4096)
-                    self._lib.s2_stream_error(self._s, buf, 4096)
-                    raise IOError(
-                        f"native read error ({n}) on {buf.value.decode()!r}"
-                    )
+                    kind = self._lib.s2_stream_error(self._s, buf, 4096)
+                    path = buf.value.decode()
+                    if kind == 2:
+                        raise Pe2EndedEarlyError(path)
+                    raise OSError(f"could not read file {path}")
                 if n == 0:
                     return
                 yield PackedBatch(
@@ -413,7 +418,9 @@ class NativeClassifier:
     def open_stream(self, f1: str, f2: str | None, mode: int,
                     chunk: int = 1 << 16) -> "NativeClassifyStream":
         """mode: 0 = SE, 1 = PE two-file, 2 = PEI interleaved."""
-        return NativeClassifyStream(self._lib, self._h, f1, f2, mode, self.k, chunk)
+        return NativeClassifyStream(
+            self._lib, self._h, f1, f2, mode, self.k, chunk, owner=self
+        )
 
     def close(self):
         if getattr(self, "_h", None):
@@ -427,32 +434,37 @@ class NativeClassifier:
 class NativeClassifyStream:
     PE2_ENDED_EARLY = 3
 
-    def __init__(self, lib, table, f1, f2, mode, k, chunk):
+    def __init__(self, lib, table, f1, f2, mode, k, chunk, owner=None):
         self._lib = lib
+        self._owner = owner  # keeps the hash table alive while streaming
         self.chunk = chunk
         self._s = lib.s2_open_classify(
             f1.encode(), f2.encode() if f2 else None, mode, k, table
         )
-        if not lib.s2_classify_ok(self._s):
+        bad = lib.s2_classify_ok(self._s)
+        if bad:
             lib.s2_close_classify(self._s)
             self._s = None
-            raise OSError(f"could not read file {f2 if f2 else f1}")
+            path = f1 if bad == 1 else f2
+            err = OSError(f"could not read file {path}")
+            err.filename = path
+            err.s2_which_read = bad
+            raise err
 
     def __iter__(self):
-        try:
-            while True:
-                lens = np.empty(self.chunk, dtype=np.int64)
-                tot = np.empty(self.chunk, dtype=np.uint32)
-                inf = np.empty(self.chunk, dtype=np.uint32)
-                n = self._lib.s2_classify_next(
-                    self._s, lens.ctypes.data, tot.ctypes.data, inf.ctypes.data,
-                    self.chunk,
-                )
-                if n <= 0:
-                    return
-                yield lens[:n], tot[:n], inf[:n]
-        finally:
-            pass
+        # NOTE: no close-on-exhaustion — the caller reads .state afterwards
+        # to distinguish clean EOF from PE2-ended-early.
+        while True:
+            lens = np.empty(self.chunk, dtype=np.int64)
+            tot = np.empty(self.chunk, dtype=np.uint32)
+            inf = np.empty(self.chunk, dtype=np.uint32)
+            n = self._lib.s2_classify_next(
+                self._s, lens.ctypes.data, tot.ctypes.data, inf.ctypes.data,
+                self.chunk,
+            )
+            if n <= 0:
+                return
+            yield lens[:n], tot[:n], inf[:n]
 
     @property
     def state(self) -> int:

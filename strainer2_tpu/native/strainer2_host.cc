@@ -188,6 +188,7 @@ struct PackStream {
   std::vector<std::unique_ptr<FastxReader>> readers;
   size_t cur_file = 0;
   bool io_error = false;
+  int error_kind = 0;  // 1 = unreadable file, 2 = PE2 ended before PE1
   std::string error_path;
 
   // pending group (reads not yet placed)
@@ -218,6 +219,7 @@ bool fetch_group(PackStream* s) {
     if (!s->readers[1]->next(&b)) {
       s->exhausted = true;
       s->io_error = true;  // PE2 ended early (caller reports)
+      s->error_kind = 2;
       s->error_path = s->paths[1];
       return false;
     }
@@ -347,6 +349,7 @@ void* s2_open_pack_stream(const char** paths, int n_paths, int mode, int k,
     s->readers.emplace_back(new FastxReader(paths[i]));
     if (!s->readers.back()->ok()) {
       s->io_error = true;
+      s->error_kind = 1;
       s->error_path = paths[i];
     }
   }
@@ -430,11 +433,13 @@ long long s2_next_batch(void* stream, uint8_t* bases, int32_t* read_ids,
   return s->n_reads;  // may be 0 == end
 }
 
+// Returns the error kind (0 = none, 1 = unreadable file, 2 = PE2 ended
+// before PE1) and fills the offending path.
 int s2_stream_error(void* stream, char* path_out, int cap) {
   auto* s = static_cast<PackStream*>(stream);
   if (!s->io_error) return 0;
   snprintf(path_out, cap, "%s", s->error_path.c_str());
-  return 1;
+  return s->error_kind ? s->error_kind : 1;
 }
 
 void s2_close_pack_stream(void* stream) { delete static_cast<PackStream*>(stream); }
@@ -1199,11 +1204,12 @@ void* s2_open_classify(const char* p1, const char* p2, int mode, int k,
   return s;
 }
 
+// 0 = both inputs readable; 1 = file1 unreadable; 2 = file2 unreadable.
 int s2_classify_ok(void* h) {
   auto* s = static_cast<ClassifyStream*>(h);
-  if (!s->r1->ok()) return 0;
-  if (s->mode == 1 && !s->r2->ok()) return 0;
-  return 1;
+  if (!s->r1->ok()) return 1;
+  if (s->mode == 1 && !s->r2->ok()) return 2;
+  return 0;
 }
 
 // Fill up to cap per-read rows (pairs stay atomic in paired modes).

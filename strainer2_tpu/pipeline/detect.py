@@ -83,6 +83,55 @@ def get_file_type(token: str) -> int:
     return -1
 
 
+def _exit_unreadable_sample(exc: OSError, f1: str, f2: str | None) -> None:
+    """Reference exits on unreadable target files with a (read1)/(read2)
+    message (reference src/strain_detect.c:418-431); mirror it for both
+    the jit and native detection paths."""
+    import os
+
+    path = getattr(exc, "filename", None)
+    which = getattr(exc, "s2_which_read", None)
+    if path is None or which is None:
+        if f2 is not None and os.path.exists(f1) and not os.path.exists(f2):
+            which, path = 2, f2
+        else:
+            which, path = 1, f1
+    reason = getattr(exc, "strerror", None)
+    if not reason:
+        try:  # recover the OS-level reason the way the reference's strerror does
+            open(path, "rb").close()
+            reason = str(exc)
+        except OSError as probe:
+            reason = probe.strerror or str(probe)
+    print(
+        "could not read file (read%d) %s in quantify_hits_PE() (error: %s)"
+        % (which, path, reason),
+        file=sys.stderr,
+    )
+    raise SystemExit(1)
+
+
+def _aggregate_classify_chunk(lens, tot, inf, paired: bool, k: int):
+    """Pair-split one chunk of per-read (length, total, informative) rows.
+
+    Shared by the jit and native quantify paths so the parity-critical
+    aggregation (window totals, evaluated-read rule, PE1/PE2 split) cannot
+    drift between them.  Returns (kmers_evaluated, reads_evaluated, pe1,
+    t1, i1, t2, i2)."""
+    wins = np.maximum(lens - k + 1, 0) * (lens >= k)
+    kmers_evaluated = int(wins.sum())
+    n = lens.shape[0]
+    if paired:
+        pe1 = np.arange(0, n - (n % 2), 2)
+        reads_evaluated = int(np.count_nonzero(lens[pe1] >= k))
+        return (kmers_evaluated, reads_evaluated, pe1,
+                tot[pe1], inf[pe1], tot[pe1 + 1], inf[pe1 + 1])
+    pe1 = np.arange(n)
+    reads_evaluated = int(np.count_nonzero(lens >= k))
+    zero = np.zeros_like(tot)
+    return kmers_evaluated, reads_evaluated, pe1, tot, inf, zero, zero
+
+
 def _load_or_build_index(r_file, engine, cfg, index_cache):
     """Build the strain index, or reuse a cached one (StrainIndex.save)."""
     import os
@@ -395,8 +444,8 @@ class StrainDetector:
                 else 2 if ftype == IS_PAIRED_END_INTERLEAVE else 0)
         try:
             stream = nc.open_stream(f1, f2, mode)
-        except OSError:
-            stream = None
+        except OSError as e:
+            _exit_unreadable_sample(e, f1, f2)
 
         total_kmers_evaluated = 0
         total_reads_evaluated = 0
@@ -406,21 +455,13 @@ class StrainDetector:
         ex1 = ex2 = None
         for lens, tot, inf in (stream or ()):
             n = lens.size
-            wins = np.maximum(lens - k + 1, 0) * (lens >= k)
-            total_kmers_evaluated += int(wins.sum())
-            if paired:
-                if n % 2 and ftype == IS_PAIRED_END_INTERLEAVE:
-                    odd_interleave = True
-                pe1 = np.arange(0, n - (n % 2), 2)
-                total_reads_evaluated += int(np.count_nonzero(lens[pe1] >= k))
-                t1, i1 = tot[pe1], inf[pe1]
-                t2, i2 = tot[pe1 + 1], inf[pe1 + 1]
-            else:
-                total_reads_evaluated += int(np.count_nonzero(lens >= k))
-                pe1 = np.arange(n)
-                t1, i1 = tot, inf
-                t2 = np.zeros_like(t1)
-                i2 = np.zeros_like(i1)
+            if n % 2 and paired and ftype == IS_PAIRED_END_INTERLEAVE:
+                odd_interleave = True
+            ke, re_, pe1, t1, i1, t2, i2 = _aggregate_classify_chunk(
+                lens, tot, inf, paired, k
+            )
+            total_kmers_evaluated += ke
+            total_reads_evaluated += re_
 
             passing = ((t1 + t2) >= cfg.min_hits_for_good_match) & (
                 (i1 + i2) >= cfg.min_hits_for_informative_read
@@ -489,23 +530,26 @@ class StrainDetector:
         max_reads = self.engine.max_reads
         from strainer2_tpu.utils.prefetch import prefetch
 
+        from strainer2_tpu.native import Pe2EndedEarlyError
+
         try:
             stream = prefetch(self._batch_stream(f1, f2, ftype))
-        except IOError:
-            stream = iter(())
+        except OSError as e:
+            _exit_unreadable_sample(e, f1, f2)
         while True:
             try:
                 batch = next(stream)
             except StopIteration:
                 break
-            except IOError:
-                # native PE stream: PE2 ended before PE1
+            except Pe2EndedEarlyError:
                 print(
                     f"reached end of PE2 ({f2}) before end of PE1 ({f1}), "
                     "check that file names are correct",
                     file=sys.stderr,
                 )
                 raise SystemExit(1)
+            except OSError as e:
+                _exit_unreadable_sample(e, f1, f2)
             n = batch.n_reads
             boundaries = np.full(max_reads + 1, n_windows, dtype=np.int32)
             boundaries[:n] = batch.window_starts
@@ -538,21 +582,13 @@ class StrainDetector:
                 tot = np.asarray(tot_d)[:n]
                 inf = np.asarray(inf_d)[:n]
             lens = batch.read_lengths
-            wins = np.maximum(lens - k + 1, 0) * (lens >= k)
-            total_kmers_evaluated += int(wins.sum())
-            if paired:
-                if n % 2 and ftype == IS_PAIRED_END_INTERLEAVE:
-                    odd_interleave = True
-                pe1 = np.arange(0, n - (n % 2), 2)
-                total_reads_evaluated += int(np.count_nonzero(lens[pe1] >= k))
-                t1, i1 = tot[pe1], inf[pe1]
-                t2, i2 = tot[pe1 + 1], inf[pe1 + 1]
-            else:
-                total_reads_evaluated += int(np.count_nonzero(lens >= k))
-                pe1 = np.arange(n)
-                t1, i1 = tot, inf
-                t2 = np.zeros_like(t1)
-                i2 = np.zeros_like(i1)
+            if n % 2 and paired and ftype == IS_PAIRED_END_INTERLEAVE:
+                odd_interleave = True
+            ke, re_, pe1, t1, i1, t2, i2 = _aggregate_classify_chunk(
+                lens, tot, inf, paired, k
+            )
+            total_kmers_evaluated += ke
+            total_reads_evaluated += re_
 
             passing = ((t1 + t2) >= cfg.min_hits_for_good_match) & (
                 (i1 + i2) >= cfg.min_hits_for_informative_read
