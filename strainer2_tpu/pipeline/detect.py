@@ -466,6 +466,7 @@ class StrainDetector:
             passing = ((t1 + t2) >= cfg.min_hits_for_good_match) & (
                 (i1 + i2) >= cfg.min_hits_for_informative_read
             )
+            emit_items = []
             for j in np.flatnonzero(passing):
                 r1 = base + int(pe1[j])
                 prefix = f"{f1}\t{t1[j]}\t{i1[j]}\t{t2[j]}\t{i2[j]}\t"
@@ -474,18 +475,19 @@ class StrainDetector:
                     if ftype == IS_PAIRED_END:
                         ex2 = NativeReadExtractor(f2)
                 if ftype == IS_PAIRED_END:
-                    self._emit_rows(
-                        out, prefix, ex1.read(r1 // 2, int(lens[pe1[j]]))
+                    emit_items.append(
+                        (prefix, ex1.read(r1 // 2, int(lens[pe1[j]])))
                     )
-                    self._emit_rows(
-                        out, prefix, ex2.read(r1 // 2, int(lens[pe1[j] + 1]))
+                    emit_items.append(
+                        (prefix, ex2.read(r1 // 2, int(lens[pe1[j] + 1])))
                     )
                 else:
-                    self._emit_rows(out, prefix, ex1.read(r1, int(lens[pe1[j]])))
+                    emit_items.append((prefix, ex1.read(r1, int(lens[pe1[j]]))))
                     if paired:  # PEI: mate is the next read in the same file
-                        self._emit_rows(
-                            out, prefix, ex1.read(r1 + 1, int(lens[pe1[j] + 1]))
+                        emit_items.append(
+                            (prefix, ex1.read(r1 + 1, int(lens[pe1[j] + 1])))
                         )
+            self._emit_rows_batch(out, emit_items)
             base += n
         if stream is not None and stream.state == NativeClassifyStream.PE2_ENDED_EARLY:
             pe2_early = True
@@ -595,14 +597,18 @@ class StrainDetector:
             )
             pass_idx = np.flatnonzero(passing)
             grouping = batch_read_grouping(batch) if pass_idx.size else None
+            emit_items = []
             for j in pass_idx:
                 r1 = int(pe1[j])
                 prefix = f"{f1}\t{t1[j]}\t{i1[j]}\t{t2[j]}\t{i2[j]}\t"
-                self._emit_rows(out, prefix, read_codes_from_batch(batch, r1, k, grouping))
+                emit_items.append(
+                    (prefix, read_codes_from_batch(batch, r1, k, grouping))
+                )
                 if paired:
-                    self._emit_rows(
-                        out, prefix, read_codes_from_batch(batch, r1 + 1, k, grouping)
+                    emit_items.append(
+                        (prefix, read_codes_from_batch(batch, r1 + 1, k, grouping))
                     )
+            self._emit_rows_batch(out, emit_items)
 
         if odd_interleave:
             print(
@@ -623,17 +629,40 @@ class StrainDetector:
     def _emit_rows(self, out: IO, prefix: str, codes: np.ndarray) -> None:
         """Re-scan one passing read; one row per informative-window
         occurrence, in window order (reference src/strain_detect.c:554-623)."""
-        ccodes, valid = canonical_codes_np(codes, self.cfg.k)
-        if ccodes.size == 0:
+        self._emit_rows_batch(out, [(prefix, codes)])
+
+    def _emit_rows_batch(self, out: IO, items: list) -> None:
+        """Emission for all passing reads of one chunk at once: one
+        canonical re-scan per read, but a single vectorized key lookup and
+        class gather across the chunk.  Rows print in (read, window) order
+        exactly as the per-read version."""
+        k = self.cfg.k
+        ccodes_list = []
+        valid_list = []
+        spans = []
+        for _, bases in items:
+            cc, v = canonical_codes_np(bases, k)
+            ccodes_list.append(cc)
+            valid_list.append(v)
+            spans.append(cc.size)
+        if not spans or sum(spans) == 0:
             return
+        ccodes = np.concatenate(ccodes_list)
+        valid = np.concatenate(valid_list)
         idx = self._key_pos(ccodes)
         informative = valid & (idx >= 0)
         if informative.any():
-            informative &= np.where(idx >= 0, self.kmer_type[np.maximum(idx, 0)], 0) == INFORMATIVE_KMER
-        hits = np.flatnonzero(informative)
-        if hits.size:
-            for s in decode_codes_np(ccodes[hits], self.cfg.k):
-                out.write(prefix + s + "\n")
+            informative &= (
+                np.where(idx >= 0, self.kmer_type[np.maximum(idx, 0)], 0)
+                == INFORMATIVE_KMER
+            )
+        off = 0
+        for (prefix, _), n in zip(items, spans):
+            hits = np.flatnonzero(informative[off : off + n])
+            if hits.size:
+                for s in decode_codes_np(ccodes[off + hits], k):
+                    out.write(prefix + s + "\n")
+            off += n
 
 
 def background_demote(kmer_type, bg_counts, num_inform, fraction, list_name, stdout):
