@@ -208,6 +208,7 @@ class NativePackStream:
         if lib is None:
             raise RuntimeError("native library unavailable")
         self._lib = lib
+        self.paths = list(paths)
         self.k, self.rows, self.row_len = k, rows, row_len
         self.with_read_ids = with_read_ids
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
@@ -239,13 +240,22 @@ class NativePackStream:
                     self._s, bases.ctypes.data, ids.ctypes.data,
                     lengths.ctypes.data, wstarts.ctypes.data,
                 )
+                if n == -2:
+                    raise ValueError(
+                        "read does not fit in one buffer; increase rows/row_len "
+                        "for read-id (detection) streams"
+                    )
                 if n < 0:
                     buf = ctypes.create_string_buffer(4096)
                     kind = self._lib.s2_stream_error(self._s, buf, 4096)
                     path = buf.value.decode()
                     if kind == 2:
                         raise Pe2EndedEarlyError(path)
-                    raise OSError(f"could not read file {path}")
+                    err = OSError(f"could not read file {path}")
+                    err.filename = path
+                    if path in self.paths:
+                        err.s2_which_read = self.paths.index(path) + 1
+                    raise err
                 if n == 0:
                     return
                 yield PackedBatch(

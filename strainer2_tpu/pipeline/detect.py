@@ -91,7 +91,9 @@ def _exit_unreadable_sample(exc: OSError, f1: str, f2: str | None) -> None:
 
     path = getattr(exc, "filename", None)
     which = getattr(exc, "s2_which_read", None)
-    if path is None or which is None:
+    if which is None and path is not None:
+        which = 2 if (f2 is not None and path == f2) else 1
+    if path is None:
         if f2 is not None and os.path.exists(f1) and not os.path.exists(f2):
             which, path = 2, f2
         else:
@@ -453,7 +455,7 @@ class StrainDetector:
         pe2_early = False
         base = 0
         ex1 = ex2 = None
-        for lens, tot, inf in (stream or ()):
+        for lens, tot, inf in stream:
             n = lens.size
             if n % 2 and paired and ftype == IS_PAIRED_END_INTERLEAVE:
                 odd_interleave = True
@@ -489,13 +491,12 @@ class StrainDetector:
                         )
             self._emit_rows_batch(out, emit_items)
             base += n
-        if stream is not None and stream.state == NativeClassifyStream.PE2_ENDED_EARLY:
+        if stream.state == NativeClassifyStream.PE2_ENDED_EARLY:
             pe2_early = True
         for h in (ex1, ex2):
             if h is not None:
                 h.close()
-        if stream is not None:
-            stream.close()
+        stream.close()
         if pe2_early or odd_interleave:
             f2_name = f2 if ftype == IS_PAIRED_END else f1
             print(
@@ -631,11 +632,24 @@ class StrainDetector:
         occurrence, in window order (reference src/strain_detect.c:554-623)."""
         self._emit_rows_batch(out, [(prefix, codes)])
 
+    _EMIT_WINDOW_BUDGET = 1 << 21  # bounds transient memory per lookup
+
     def _emit_rows_batch(self, out: IO, items: list) -> None:
         """Emission for all passing reads of one chunk at once: one
         canonical re-scan per read, but a single vectorized key lookup and
-        class gather across the chunk.  Rows print in (read, window) order
-        exactly as the per-read version."""
+        class gather across bounded sub-batches.  Rows print in
+        (read, window) order exactly as the per-read version."""
+        start = 0
+        windows = 0
+        for i, (_, bases) in enumerate(items):
+            windows += max(bases.shape[0] - self.cfg.k + 1, 0)
+            if windows >= self._EMIT_WINDOW_BUDGET:
+                self._emit_rows_slice(out, items[start : i + 1])
+                start, windows = i + 1, 0
+        if start < len(items):
+            self._emit_rows_slice(out, items[start:])
+
+    def _emit_rows_slice(self, out: IO, items: list) -> None:
         k = self.cfg.k
         ccodes_list = []
         valid_list = []

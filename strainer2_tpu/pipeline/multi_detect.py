@@ -223,8 +223,26 @@ class MultiStrainDetector:
         total_reads_evaluated = 0
 
         # reuse the single-strain stream builder (native or Python packer)
+        # and its error contract (unreadable file / PE2-ended-early)
+        from strainer2_tpu.native import Pe2EndedEarlyError
+        from strainer2_tpu.pipeline.detect import _exit_unreadable_sample
+
         stream_builder = StrainDetector._batch_stream
-        for batch in stream_builder(self, f1, f2, ftype):
+        stream = iter(stream_builder(self, f1, f2, ftype))
+        while True:
+            try:
+                batch = next(stream)
+            except StopIteration:
+                break
+            except Pe2EndedEarlyError:
+                print(
+                    f"reached end of PE2 ({f2}) before end of PE1 ({f1}), "
+                    "check that file names are correct",
+                    file=sys.stderr,
+                )
+                raise SystemExit(1)
+            except OSError as e:
+                _exit_unreadable_sample(e, f1, f2)
             n = batch.n_reads
             boundaries = np.full(self.max_reads + 1, n_windows, dtype=np.int32)
             boundaries[:n] = batch.window_starts
