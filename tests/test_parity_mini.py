@@ -273,3 +273,20 @@ def test_fused_pipeline_background_and_no_intermediates(tmp_path):
     with gzip.open(paths["hits"], "rb") as f:
         assert f.read() == expected("kmer_hits_bg.txt")
     assert stdout.bytes() == expected("detect_bg_stdout.txt")
+
+
+def test_detect_jit_engine_path_parity(tmp_path, monkeypatch):
+    """The jit engine path (STRAINER2_NATIVE_COUNT=0; the TPU default)
+    produces the same bytes as the native CPU fast path — the dual-path
+    invariant (CLAUDE.md)."""
+    monkeypatch.setenv("STRAINER2_NATIVE_COUNT", "0")
+    _detect(tmp_path, "kmer_hits.txt", "detect_stdout.txt", batch_list="data/targets.txt")
+
+
+def test_scrub_count_jit_engine_path_parity(monkeypatch):
+    monkeypatch.setenv("STRAINER2_NATIVE_COUNT", "0")
+    from strainer2_tpu.pipeline.scrub_count import run_scrub_count
+
+    out = _Out()
+    run_scrub_count("data/strainA.fna.gz", "data/genomes.txt", "data/metagenomes.txt", out=out)
+    assert out.bytes() == expected("scrub_counts.tsv")
