@@ -119,6 +119,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_longlong,
         ]
+        lib.s2_classify_multi_next.restype = ctypes.c_longlong
+        lib.s2_classify_multi_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_int,
+        ]
         lib.s2_classify_state.restype = ctypes.c_int
         lib.s2_classify_state.argtypes = [ctypes.c_void_p]
         lib.s2_close_classify.argtypes = [ctypes.c_void_p]
@@ -432,6 +437,16 @@ class NativeClassifier:
             self._lib, self._h, f1, f2, mode, self.k, chunk, owner=self
         )
 
+    def open_multi_stream(self, f1: str, f2: str | None, mode: int,
+                          n_strains: int,
+                          chunk: int = 1 << 15) -> "NativeClassifyStream":
+        """Multi-strain variant: yields (lens, tot (n, S), inf (n, S))
+        chunks; the hash values must be the packed per-strain meta words."""
+        return NativeClassifyStream(
+            self._lib, self._h, f1, f2, mode, self.k, chunk, owner=self,
+            n_strains=n_strains,
+        )
+
     def close(self):
         if getattr(self, "_h", None):
             self._lib.s2_count_free(self._h)
@@ -444,10 +459,12 @@ class NativeClassifier:
 class NativeClassifyStream:
     PE2_ENDED_EARLY = 3
 
-    def __init__(self, lib, table, f1, f2, mode, k, chunk, owner=None):
+    def __init__(self, lib, table, f1, f2, mode, k, chunk, owner=None,
+                 n_strains=None):
         self._lib = lib
         self._owner = owner  # keeps the hash table alive while streaming
         self.chunk = chunk
+        self.n_strains = n_strains
         self._s = lib.s2_open_classify(
             f1.encode(), f2.encode() if f2 else None, mode, k, table
         )
@@ -464,14 +481,22 @@ class NativeClassifyStream:
     def __iter__(self):
         # NOTE: no close-on-exhaustion — the caller reads .state afterwards
         # to distinguish clean EOF from PE2-ended-early.
+        S = self.n_strains
         while True:
             lens = np.empty(self.chunk, dtype=np.int64)
-            tot = np.empty(self.chunk, dtype=np.uint32)
-            inf = np.empty(self.chunk, dtype=np.uint32)
-            n = self._lib.s2_classify_next(
-                self._s, lens.ctypes.data, tot.ctypes.data, inf.ctypes.data,
-                self.chunk,
-            )
+            shape = (self.chunk,) if S is None else (self.chunk, S)
+            tot = np.empty(shape, dtype=np.uint32)
+            inf = np.empty(shape, dtype=np.uint32)
+            if S is None:
+                n = self._lib.s2_classify_next(
+                    self._s, lens.ctypes.data, tot.ctypes.data,
+                    inf.ctypes.data, self.chunk,
+                )
+            else:
+                n = self._lib.s2_classify_multi_next(
+                    self._s, lens.ctypes.data, tot.ctypes.data,
+                    inf.ctypes.data, self.chunk, S,
+                )
             if n <= 0:
                 return
             yield lens[:n], tot[:n], inf[:n]

@@ -1301,3 +1301,102 @@ void s2_close_extract(void* h) {
 }
 
 }  // extern "C"
+
+// ---- native multi-strain classify (CPU fast path for detect-multi) ----------
+//
+// Same stream plumbing as s2_classify_next, but the hash value is the
+// packed per-strain meta word (bit 2s = strain s has the k-mer, bit 2s+1 =
+// informative for strain s — pipeline/multi_detect.py); per-read outputs
+// are (cap, n_strains) C-order total/informative rows.
+
+extern "C" {
+
+static void classify_one_read_multi(CountTable* t, const std::vector<uint8_t>& seq,
+                                    int k, std::vector<uint64_t>& codes,
+                                    uint32_t* tot, uint32_t* inf, int n_strains) {
+  codes.clear();
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const int rc_shift = 2 * (k - 1);
+  uint64_t fwd = 0, rc = 0;
+  int run = 0;
+  for (uint8_t b : seq) {
+    if (b > 3) {
+      run = 0;
+      continue;
+    }
+    fwd = ((fwd << 2) | b) & mask;
+    rc = (rc >> 2) | ((uint64_t)(3 - b) << rc_shift);
+    if (++run >= k) codes.push_back(fwd >= rc ? fwd : rc);
+  }
+  for (int s = 0; s < n_strains; ++s) tot[s] = inf[s] = 0;
+  const int bits = t->bits;
+  const size_t cmask = t->cap - 1;
+  const auto hash = [bits](uint64_t c) {
+    return (size_t)((c * 0x9E3779B97F4A7C15ULL) >> (64 - bits));
+  };
+  constexpr long long kAhead = 12;
+  const long long n = (long long)codes.size();
+  for (long long i = 0; i < n; ++i) {
+    if (i + kAhead < n)
+      __builtin_prefetch(&t->recs[hash(codes[(size_t)(i + kAhead)])], 0, 1);
+    const uint64_t c = codes[(size_t)i];
+    if (c == 0) continue;  // canonical-max codes are never 0
+    size_t p = hash(c);
+    uint32_t m = 0;
+    for (;;) {
+      const uint64_t cur = t->recs[p].code;
+      if (cur == c) {
+        m = (uint32_t)t->recs[p].slot;
+        break;
+      }
+      if (cur == 0) break;
+      p = (p + 1) & cmask;
+    }
+    if (m) {
+      for (int s = 0; s < n_strains; ++s) {
+        tot[s] += (m >> (2 * s)) & 1u;
+        inf[s] += (m >> (2 * s + 1)) & 1u;
+      }
+    }
+  }
+}
+
+// Per-read rows into (cap, n_strains) C-order buffers; same pairing and
+// state semantics as s2_classify_next.
+long long s2_classify_multi_next(void* h, int64_t* lens, uint32_t* tot,
+                                 uint32_t* inf, long long cap, int n_strains) {
+  auto* s = static_cast<ClassifyStream*>(h);
+  if (s->done) return 0;
+  long long n = 0;
+  const long long step = (s->mode == 0) ? 1 : 2;
+  auto one = [&](long long row) {
+    lens[row] = (int64_t)s->seq.size();
+    classify_one_read_multi(s->table, s->seq, s->k, s->codes,
+                            &tot[row * n_strains], &inf[row * n_strains],
+                            n_strains);
+  };
+  while (n + step <= cap) {
+    if (!s->r1->next(&s->seq)) {
+      s->done = true;
+      break;
+    }
+    one(n++);
+    if (s->mode == 1) {
+      if (!s->r2->next(&s->seq)) {
+        s->done = true;
+        s->state = 3;
+        break;
+      }
+      one(n++);
+    } else if (s->mode == 2) {
+      if (!s->r1->next(&s->seq)) {
+        s->done = true;
+        break;
+      }
+      one(n++);
+    }
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -147,6 +147,8 @@ class MultiStrainDetector:
             meta[pos[inf]] |= np.uint32(1 << (2 * s + 1))
         meta_slots = np.zeros(self.table.num_slots, dtype=np.uint32)
         meta_slots[self.table.slot_of_key] = meta
+        self._union_codes = union  # native classifier inputs (CPU fast path)
+        self._union_meta = meta
 
         import jax
         import jax.numpy as jnp
@@ -161,6 +163,114 @@ class MultiStrainDetector:
             ),
             static_argnames=("h_bits", "salt"),
         )
+
+    def _native_multi_classifier(self):
+        """Fused native multi-strain classifier (CPU fast path); values are
+        the packed per-strain meta words.  None on device backends."""
+        if not hasattr(self, "_native_cls"):
+            self._native_cls = None
+            from strainer2_tpu.pipeline.scrub_count import _use_native_counting
+
+            if _use_native_counting(self.engine):
+                try:
+                    from strainer2_tpu.native import NativeClassifier
+
+                    self._native_cls = NativeClassifier(
+                        self._union_codes,
+                        self._union_meta.view(np.int32),
+                        self.cfg.k,
+                    )
+                except (RuntimeError, MemoryError):
+                    self._native_cls = None
+        return self._native_cls
+
+    def _quantify_sample_native(self, nc, f1: str, f2: str | None, ftype: int,
+                                outs: list[IO]) -> None:
+        """Native twin of _quantify_sample: per-read (n, S) rows from one
+        fused pass; pairing, thresholds, emission, and summaries unchanged."""
+        from strainer2_tpu.constants import IS_PAIRED_END_INTERLEAVE
+        from strainer2_tpu.native import (
+            NativeClassifyStream,
+            NativeReadExtractor,
+        )
+        from strainer2_tpu.pipeline.detect import (
+            _aggregate_classify_chunk,
+            _exit_unreadable_sample,
+        )
+
+        cfg = self.cfg
+        k = cfg.k
+        paired = ftype != NOT_PAIRED_END
+        mode = (1 if ftype == IS_PAIRED_END
+                else 2 if ftype == IS_PAIRED_END_INTERLEAVE else 0)
+        try:
+            stream = nc.open_multi_stream(f1, f2, mode, len(self.states))
+        except OSError as e:
+            _exit_unreadable_sample(e, f1, f2)
+
+        total_kmers_evaluated = 0
+        total_reads_evaluated = 0
+        odd_interleave = False
+        base = 0
+        ex1 = ex2 = None
+        for lens, tot, inf in stream:
+            n = lens.size
+            if n % 2 and paired and ftype == IS_PAIRED_END_INTERLEAVE:
+                odd_interleave = True
+            ke, re_, pe1, t1, i1, t2, i2 = _aggregate_classify_chunk(
+                lens, tot, inf, paired, k
+            )
+            total_kmers_evaluated += ke
+            total_reads_evaluated += re_
+
+            passing = ((t1 + t2) >= cfg.min_hits_for_good_match) & (
+                (i1 + i2) >= cfg.min_hits_for_informative_read
+            )  # (pairs, S)
+            if passing.any():
+                pair_idx, strain_idx = np.nonzero(passing)
+                if ex1 is None:
+                    ex1 = NativeReadExtractor(f1)
+                    if ftype == IS_PAIRED_END:
+                        ex2 = NativeReadExtractor(f2)
+                for j in np.unique(pair_idx):
+                    r1 = base + int(pe1[j])
+                    if ftype == IS_PAIRED_END:
+                        reads = [
+                            ex1.read(r1 // 2, int(lens[pe1[j]])),
+                            ex2.read(r1 // 2, int(lens[pe1[j] + 1])),
+                        ]
+                    else:
+                        reads = [ex1.read(r1, int(lens[pe1[j]]))]
+                        if paired:  # PEI: mate is next in the same file
+                            reads.append(ex1.read(r1 + 1, int(lens[pe1[j] + 1])))
+                    for s in strain_idx[pair_idx == j]:
+                        prefix = (
+                            f"{f1}\t{t1[j, s]}\t{i1[j, s]}\t{t2[j, s]}\t{i2[j, s]}\t"
+                        )
+                        for codes in reads:
+                            self._emit_rows(outs[s], self.states[s], prefix, codes)
+            base += n
+        pe2_early = stream.state == NativeClassifyStream.PE2_ENDED_EARLY
+        for h in (ex1, ex2):
+            if h is not None:
+                h.close()
+        stream.close()
+        if pe2_early or odd_interleave:
+            f2_name = f2 if ftype == IS_PAIRED_END else f1
+            print(
+                f"reached end of PE2 ({f2_name}) before end of PE1 ({f1}), "
+                "check that file names are correct",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+
+        for s, st in enumerate(self.states):
+            outs[s].write("#%s\ttotal_kmer_evaluated\t%d\n" % (f1, total_kmers_evaluated))
+            outs[s].write("#%s\ttotal_reads_evaluated\t%d\n" % (f1, total_reads_evaluated))
+            outs[s].write("#%s\ttotal_genome_kmers\t%d\n" % (f1, st.total_kmers))
+            outs[s].write(
+                "#%s\ttotal_genome_informative_kmers\t%d\n" % (f1, st.total_informative)
+            )
 
     def _background_filter_shared(self, union, per_strain_codes, per_strain_types,
                                   background_list: str) -> None:
@@ -221,6 +331,10 @@ class MultiStrainDetector:
 
         total_kmers_evaluated = 0
         total_reads_evaluated = 0
+
+        nc = self._native_multi_classifier()
+        if nc is not None:
+            return self._quantify_sample_native(nc, f1, f2, ftype, outs)
 
         # reuse the single-strain stream builder (native or Python packer)
         # and its error contract (unreadable file / PE2-ended-early)
