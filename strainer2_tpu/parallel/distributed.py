@@ -9,8 +9,9 @@ multi-host TPU slice:
   (greedy size-balanced — files differ wildly in size);
 - each host streams its files through its local devices' shard_map engine
   (strainer2_tpu.parallel.sharding) into its private count shards;
-- :func:`merge_across_hosts` psums the host-local merged count vectors
-  over all devices (ICI within a slice, DCN across slices — XLA picks).
+- :func:`merge_across_hosts` allgathers the host-local merged count
+  vectors across processes and integer-sums them (ICI within a slice,
+  DCN across slices — XLA picks the transport).
 
 Counts are integers, so the multi-host result is bit-identical to a
 single-host run over the same file list regardless of the partition.
@@ -72,33 +73,25 @@ def host_file_partition(paths: list[str], process_index: int,
 def merge_across_hosts(local_counts: np.ndarray) -> np.ndarray:
     """Sum host-local count vectors over every process (bit-exact).
 
-    Uses a tiny jitted psum over a 1-D device mesh of all global devices;
-    single-process runs return the input unchanged.
+    Each process passes its *different* local numpy vector, so this must go
+    through the process-local-data path (``multihost_utils.process_allgather``
+    stacks one copy per process via host_local_array_to_global_array) — NOT a
+    replicated-spec jit, which is only valid for values identical across
+    processes.  The merged result is a plain integer sum over the stacked
+    process axis: order-independent, hence bit-identical to a single-process
+    run over the concatenated file list (tests/test_distributed.py runs the
+    real 2-process assertion over localhost CPU).
+
+    Single-process runs return the input unchanged.
     """
     import jax
-    import jax.numpy as jnp
 
+    local_counts = np.asarray(local_counts)
     if jax.process_count() == 1:
         return local_counts
 
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental import multihost_utils
 
-    try:
-        shard_map = jax.shard_map
-    except AttributeError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map  # type: ignore
-
-    devices = np.asarray(jax.devices())
-    mesh = Mesh(devices, ("all",))
-    n_local = len(jax.local_devices())
-
-    # each local device carries the host's counts; psum over every device
-    # then divide by the local replication factor
-    def body(c):
-        return jax.lax.psum(c, "all") // n_local
-
-    f = jax.jit(
-        shard_map(body, mesh=mesh, in_specs=P(), out_specs=P()),
-    )
-    arr = jnp.asarray(local_counts)
-    return np.asarray(f(arr))
+    stacked = np.asarray(multihost_utils.process_allgather(local_counts))
+    assert stacked.shape == (jax.process_count(),) + local_counts.shape
+    return stacked.sum(axis=0, dtype=local_counts.dtype)

@@ -1,0 +1,57 @@
+"""Subprocess worker for the real 2-process merge_across_hosts test.
+
+Launched by tests/test_distributed.py with a localhost coordinator: every
+process counts its host_file_partition share of the panel files through
+the production counting path, merges with merge_across_hosts, and saves
+both its local and merged vectors for the parent to compare against a
+single-process run over the full file list.
+"""
+
+import glob
+import os
+import sys
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    workdir = sys.argv[4]
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from strainer2_tpu.index import StrainIndex
+    from strainer2_tpu.parallel.distributed import (
+        host_file_partition,
+        initialize,
+        merge_across_hosts,
+    )
+    from strainer2_tpu.pipeline.engine import KmerEngine
+    from strainer2_tpu.pipeline.scrub_count import count_panel_file
+
+    idx, cnt = initialize(f"127.0.0.1:{port}", nproc, pid)
+    assert (idx, cnt) == (pid, nproc), (idx, cnt)
+
+    k = 31
+    rows, row_len = 8, 512
+    engine = KmerEngine(k)
+    index = StrainIndex.from_fasta(
+        os.path.join(workdir, "genome.fa"), engine, rows, row_len
+    )
+    panels = sorted(glob.glob(os.path.join(workdir, "panel_*.fa")))
+    mine = host_file_partition(panels, pid, nproc)
+    counts = engine.init_counts(index)
+    for p in mine:
+        counts = count_panel_file(engine, index, counts, p, rows, row_len)
+    local = np.asarray(engine.finalize_counts(counts))
+    merged = merge_across_hosts(local)
+    np.save(os.path.join(workdir, f"local_{pid}.npy"), local)
+    np.save(os.path.join(workdir, f"merged_{pid}.npy"), merged)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,8 @@
+import os
+import socket
+import subprocess
+import sys
+
 import numpy as np
 
 from strainer2_tpu.parallel.distributed import (
@@ -31,3 +36,80 @@ def test_host_file_partition_covers_and_balances(tmp_path):
 def test_merge_across_hosts_single_process_passthrough():
     counts = np.arange(100, dtype=np.uint32)
     np.testing.assert_array_equal(merge_across_hosts(counts), counts)
+
+
+def _write_fasta(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">r{i}\n{s}\n")
+
+
+def test_merge_across_hosts_two_real_processes(tmp_path):
+    """Launch 2 actual jax.distributed processes over localhost CPU; each
+    counts its host_file_partition share of the panel through the
+    production path and merges.  Both merged vectors must be bit-identical
+    to a single-process count over the full file list."""
+    from strainer2_tpu.index import StrainIndex
+    from strainer2_tpu.pipeline.engine import KmerEngine
+    from strainer2_tpu.pipeline.scrub_count import count_panel_file
+
+    k, rows, row_len = 31, 8, 512
+    rng = np.random.default_rng(42)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = alpha[rng.integers(0, 4, size=3000)].tobytes().decode()
+    _write_fasta(tmp_path / "genome.fa", [genome])
+    panels = []
+    for j in range(3):
+        reads = []
+        for _ in range(60):
+            if rng.random() < 0.5:  # genome-derived read -> guaranteed hits
+                start = int(rng.integers(0, len(genome) - 80))
+                reads.append(genome[start : start + 80])
+            else:
+                reads.append(alpha[rng.integers(0, 4, size=80)].tobytes().decode())
+        p = tmp_path / f"panel_{j}.fa"
+        _write_fasta(p, reads)
+        panels.append(str(p))
+
+    # expected: single-process count over every panel file, same code path
+    engine = KmerEngine(k)
+    index = StrainIndex.from_fasta(str(tmp_path / "genome.fa"), engine, rows, row_len)
+    counts = engine.init_counts(index)
+    for p in panels:
+        counts = count_panel_file(engine, index, counts, p, rows, row_len)
+    expected = np.asarray(engine.finalize_counts(counts))
+    assert int(expected.sum()) > 0
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_dist_worker.py")
+    env = {
+        k_: v
+        for k_, v in os.environ.items()
+        if k_ not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", port, str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out.decode(errors="replace")
+
+    locals_ = [np.load(tmp_path / f"local_{i}.npy") for i in range(2)]
+    # the partition is a real split: neither process saw everything
+    assert any((loc != expected).any() for loc in locals_)
+    np.testing.assert_array_equal(locals_[0] + locals_[1], expected)
+    for i in range(2):
+        merged = np.load(tmp_path / f"merged_{i}.npy")
+        np.testing.assert_array_equal(merged, expected)
