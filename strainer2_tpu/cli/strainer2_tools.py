@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="background metagenome list (shared counting, per-strain thresholds)")
     md.add_argument("-o", dest="out_dir", required=True,
                     help="output directory; one <genome-stem>.kmer_hits.gz per strain")
+    md.add_argument("--mesh", default=None,
+                    help="DATAxINDEX device mesh for sharded multi-strain "
+                    "classification (e.g. 4x2)")
 
     ms = sub.add_parser(
         "scrub-multi",
@@ -143,9 +146,16 @@ def main(argv: list[str] | None = None) -> int:
                     r, a = line.rstrip("\n").split("\t")[:2]
                     strains.append((r, a))
         os.makedirs(args.out_dir, exist_ok=True)
+        cfg = None
+        if args.mesh:
+            from strainer2_tpu.pipeline.detect import DetectConfig
+
+            d, i = args.mesh.lower().split("x")
+            cfg = DetectConfig(mesh=(int(d), int(i)))
         for start in range(0, len(strains), MAX_STRAINS_PER_PASS):
             chunk = strains[start : start + MAX_STRAINS_PER_PASS]
-            det = MultiStrainDetector(chunk, background_list=args.background_list)
+            det = MultiStrainDetector(chunk, cfg=cfg,
+                                      background_list=args.background_list)
             outs = []
             for r, _ in chunk:
                 outs.append(os.path.join(args.out_dir, _stem(r) + ".kmer_hits.gz"))

@@ -206,13 +206,14 @@ class ShardedKmerEngine:
         return total[None, :], informative[None, :]
 
     @staticmethod
-    def _count_body_bucket(counts_loc, rows_loc, bases_loc, *, k, h_bits, salt,
-                           shard_buckets):
+    def _bucket_local_lookup(rows_loc, qhi, qlo, h_bits, salt, shard_buckets):
+        """Bucket-row membership restricted to this index shard.
+
+        Returns (mine&match hit, local slot, meta) — meta is the matched
+        key's 32-bit lane (0 where this shard does not own the key).
+        """
         from strainer2_tpu.index.hashing import cuckoo_slots as _slots
 
-        win = canonical_windows(bases_loc, k)
-        qhi = win.hi.reshape(-1)
-        qlo = win.lo.reshape(-1)
         shi = qhi ^ jnp.uint32(salt) if salt else qhi
         bucket = _slots(shi, qlo, h_bits, 0).astype(jnp.int32)
         offset = jax.lax.axis_index("index") * shard_buckets
@@ -220,34 +221,72 @@ class ShardedKmerEngine:
         mine = (local >= 0) & (local < shard_buckets)
         row = rows_loc[jnp.where(mine, local, 0)]
         eq = (row[:, 0:16] == qhi[:, None]) & (row[:, 16:32] == qlo[:, None])
-        hit = mine & eq.any(axis=1) & win.valid.reshape(-1)
+        hit = mine & eq.any(axis=1)
         cell = jnp.argmax(eq, axis=1).astype(jnp.int32)
         slot_loc = jnp.where(mine, local, 0) * jnp.int32(16) + cell
-        tgt = jnp.where(hit, slot_loc, jnp.int32(shard_buckets * 16))
-        return counts_loc.at[0, tgt].add(counts_loc.dtype.type(1), mode="drop")
-
-    @staticmethod
-    def _classify_body_bucket(rows_loc, bases_loc, boundaries, *, k, h_bits, salt,
-                              shard_buckets, max_reads):
-        from strainer2_tpu.index.hashing import cuckoo_slots as _slots
-
-        win = canonical_windows(bases_loc, k)
-        qhi = win.hi.reshape(-1)
-        qlo = win.lo.reshape(-1)
-        shi = qhi ^ jnp.uint32(salt) if salt else qhi
-        bucket = _slots(shi, qlo, h_bits, 0).astype(jnp.int32)
-        offset = jax.lax.axis_index("index") * shard_buckets
-        local = bucket - offset
-        mine = (local >= 0) & (local < shard_buckets)
-        row = rows_loc[jnp.where(mine, local, 0)]
-        eq = (row[:, 0:16] == qhi[:, None]) & (row[:, 16:32] == qlo[:, None])
-        hit = mine & eq.any(axis=1) & win.valid.reshape(-1)
         meta = jnp.where(
             hit,
             jnp.sum(jnp.where(eq, row[:, 32:48], jnp.uint32(0)), axis=1,
                     dtype=jnp.uint32),
             0,
         )
+        return hit, slot_loc, meta
+
+    @staticmethod
+    def _classify_multi_body_bucket(rows_loc, bases_loc, boundaries, *, k, h_bits,
+                                    salt, shard_buckets, n_strains):
+        """Sharded twin of multi_detect._classify_multi: per-read per-strain
+        (total, informative) partials from packed 2-bit-per-strain meta.
+        Each key is owned by exactly one index shard, so a psum over 'index'
+        reconstructs the global meta word; per-read sums come from the
+        boundary cumsum restricted to this data shard's window range."""
+        win = canonical_windows(bases_loc, k)
+        qhi = win.hi.reshape(-1)
+        qlo = win.lo.reshape(-1)
+        hit, _, meta = ShardedKmerEngine._bucket_local_lookup(
+            rows_loc, qhi, qlo, h_bits, salt, shard_buckets
+        )
+        m = jnp.where(hit & win.valid.reshape(-1), meta, 0)
+        m_g = jax.lax.psum(m, "index")  # exactly one shard owns each key
+
+        shifts = jnp.arange(n_strains, dtype=jnp.uint32) * 2
+        present = ((m_g[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)
+        informative = ((m_g[:, None] >> (shifts[None, :] + 1)) & 1).astype(jnp.int32)
+
+        n_local = m_g.shape[0]
+        off = jax.lax.axis_index("data") * n_local
+        zero = jnp.zeros((1, n_strains), dtype=jnp.int32)
+        cum_tot = jnp.concatenate([zero, jnp.cumsum(present, axis=0)])
+        cum_inf = jnp.concatenate([zero, jnp.cumsum(informative, axis=0)])
+        b = jnp.clip(boundaries - off, 0, n_local)
+        tot = cum_tot[b[1:]] - cum_tot[b[:-1]]
+        inf = cum_inf[b[1:]] - cum_inf[b[:-1]]
+        return tot[None], inf[None]
+
+    @staticmethod
+    def _count_body_bucket(counts_loc, rows_loc, bases_loc, *, k, h_bits, salt,
+                           shard_buckets):
+        win = canonical_windows(bases_loc, k)
+        qhi = win.hi.reshape(-1)
+        qlo = win.lo.reshape(-1)
+        hit, slot_loc, _ = ShardedKmerEngine._bucket_local_lookup(
+            rows_loc, qhi, qlo, h_bits, salt, shard_buckets
+        )
+        hit = hit & win.valid.reshape(-1)
+        tgt = jnp.where(hit, slot_loc, jnp.int32(shard_buckets * 16))
+        return counts_loc.at[0, tgt].add(counts_loc.dtype.type(1), mode="drop")
+
+    @staticmethod
+    def _classify_body_bucket(rows_loc, bases_loc, boundaries, *, k, h_bits, salt,
+                              shard_buckets, max_reads):
+        win = canonical_windows(bases_loc, k)
+        qhi = win.hi.reshape(-1)
+        qlo = win.lo.reshape(-1)
+        hit, _, meta = ShardedKmerEngine._bucket_local_lookup(
+            rows_loc, qhi, qlo, h_bits, salt, shard_buckets
+        )
+        hit = hit & win.valid.reshape(-1)
+        meta = jnp.where(hit, meta, 0)
         # exactly one index shard owns each key: psum reconstructs globals
         hit_g = jax.lax.psum(hit.astype(jnp.int32), "index")
         inf_g = jax.lax.psum((meta == 2).astype(jnp.int32), "index")
@@ -290,6 +329,35 @@ class ShardedKmerEngine:
         if self.layout == "bucket":
             return self._classify(table, bases, read_id_or_boundaries)
         return self._classify(table[0], table[1], meta, bases, read_id_or_boundaries)
+
+    def classify_multi_batch(self, table, bases, boundaries, n_strains: int):
+        """Multi-strain (EP) sharded classification, bucket layout only:
+        per-data-shard (n_data, max_reads, n_strains) partials of per-read
+        total / informative hits, decoded from the 2-bit-per-strain meta
+        lanes (multi_detect's union-table packing).  Sum over axis 0 for
+        the per-read matrices — bit-identical to the single-device
+        _classify_multi (tests/test_parallel.py)."""
+        if self.layout != "bucket":
+            raise ValueError("classify_multi_batch requires the bucket layout")
+        cache = getattr(self, "_classify_multi_cache", None)
+        if cache is None:
+            cache = self._classify_multi_cache = {}
+        fn = cache.get(n_strains)
+        if fn is None:
+            fn = jax.jit(
+                shard_map(
+                    partial(
+                        self._classify_multi_body_bucket, k=self.k,
+                        h_bits=self.h_bits, salt=self.salt,
+                        shard_buckets=self.shard_buckets, n_strains=n_strains,
+                    ),
+                    mesh=self.mesh,
+                    in_specs=(P("index", None), P("data", None), P(None)),
+                    out_specs=(P("data", None, None), P("data", None, None)),
+                )
+            )
+            cache[n_strains] = fn
+        return fn(table, bases, boundaries)
 
 
 class ShardedPanelEngine:

@@ -163,6 +163,24 @@ class MultiStrainDetector:
             ),
             static_argnames=("h_bits", "salt"),
         )
+        self._sharded = None
+        if self.cfg.mesh is not None:
+            # EP x (data, index) mesh: the union table (and its packed
+            # per-strain meta lanes) shards over 'index', read batches over
+            # 'data'; per-read matrices stay bit-identical (test_parallel.py)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from strainer2_tpu.parallel.sharding import ShardedKmerEngine, make_mesh
+
+            d, i = self.cfg.mesh
+            mesh = make_mesh(d, i)
+            self._sharded = ShardedKmerEngine(
+                k, mesh, self.table.h_bits, self.table.salt,
+                self.table.num_slots, max_reads=self.max_reads, layout="bucket",
+            )
+            self._rows_dev = jax.device_put(
+                self._rows_dev, NamedSharding(mesh, P("index", None))
+            )
 
     def _native_multi_classifier(self):
         """Fused native multi-strain classifier (CPU fast path); values are
@@ -171,7 +189,7 @@ class MultiStrainDetector:
             self._native_cls = None
             from strainer2_tpu.pipeline.scrub_count import _use_native_counting
 
-            if _use_native_counting(self.engine):
+            if self._sharded is None and _use_native_counting(self.engine):
                 try:
                     from strainer2_tpu.native import NativeClassifier
 
@@ -360,11 +378,25 @@ class MultiStrainDetector:
             n = batch.n_reads
             boundaries = np.full(self.max_reads + 1, n_windows, dtype=np.int32)
             boundaries[:n] = batch.window_starts
-            tot_d, inf_d = self._classify(
-                self._rows_dev, batch.bases, boundaries, h_bits=t.h_bits, salt=t.salt
-            )
-            tot = np.asarray(tot_d)[:n]  # (n, S)
-            inf = np.asarray(inf_d)[:n]
+            if self._sharded is not None:
+                bases = batch.bases
+                pad = (-bases.shape[0]) % self._sharded.n_data
+                if pad:
+                    bases = np.concatenate(
+                        [bases, np.full((pad, bases.shape[1]), 4, dtype=bases.dtype)]
+                    )
+                tot_d, inf_d = self._sharded.classify_multi_batch(
+                    self._rows_dev, bases, boundaries, n_strains
+                )
+                tot = np.asarray(tot_d).sum(axis=0)[:n]  # (n, S)
+                inf = np.asarray(inf_d).sum(axis=0)[:n]
+            else:
+                tot_d, inf_d = self._classify(
+                    self._rows_dev, batch.bases, boundaries,
+                    h_bits=t.h_bits, salt=t.salt,
+                )
+                tot = np.asarray(tot_d)[:n]  # (n, S)
+                inf = np.asarray(inf_d)[:n]
             lens = batch.read_lengths
             wins = np.maximum(lens - k + 1, 0) * (lens >= k)
             total_kmers_evaluated += int(wins.sum())

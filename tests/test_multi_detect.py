@@ -54,6 +54,33 @@ def test_multi_strain_single_pass_matches_single_runs(tmp_path):
             assert f.read() == singles[i], f"strain {i} differs"
 
 
+def test_multi_strain_sharded_mesh_matches_unsharded(tmp_path):
+    """--mesh DxI multi-strain detection is byte-identical to the
+    single-device pass (EP meta decode over the sharded union table)."""
+    from strainer2_tpu.pipeline.detect import DetectConfig
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    strains = [
+        ("data/strainA.fna.gz", "expected/scrubbed_m05.txt"),
+        ("data/panel1.fna.gz", _informative_subset(tmp_path, "data/panel1.fna.gz")),
+    ]
+    base = []
+    det = MultiStrainDetector(strains)
+    outs = [str(tmp_path / f"plain_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+    for p in outs:
+        with gzip.open(p, "rb") as f:
+            base.append(f.read())
+
+    det_m = MultiStrainDetector(strains, cfg=DetectConfig(mesh=(2, 4)))
+    assert det_m._sharded is not None
+    outs_m = [str(tmp_path / f"mesh_{i}.gz") for i in range(len(strains))]
+    det_m.quantify_all(outs_m, "data/targets.txt")
+    for i, p in enumerate(outs_m):
+        with gzip.open(p, "rb") as f:
+            assert f.read() == base[i], f"strain {i} differs under mesh"
+
+
 def test_multi_strain_background_filter_matches_single_runs(tmp_path):
     from strainer2_tpu.pipeline.detect import run_detect
     from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector

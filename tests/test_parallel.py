@@ -159,3 +159,60 @@ def test_sharded_bucket_layout_matches_single_chip(setup, mesh_shape):
         )
         np.testing.assert_array_equal(np.asarray(tot_s).sum(axis=0), np.asarray(tot1))
         np.testing.assert_array_equal(np.asarray(inf_s).sum(axis=0), np.asarray(inf1))
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (1, 8)])
+def test_sharded_multi_strain_classify_matches_single_chip(setup, mesh_shape):
+    """EP axis over the (data, index) mesh: the union table's packed
+    2-bit-per-strain meta decodes to the same per-read (reads, strains)
+    matrices as the single-device multi-strain classifier."""
+    from functools import partial
+
+    from strainer2_tpu.index.bucket import build_bucket_table
+    from strainer2_tpu.pipeline.multi_detect import _classify_multi
+
+    engine_c, index, batches = setup
+    n_strains = 5
+    rng = np.random.default_rng(7)
+    codes = index.codes
+    tb = build_bucket_table(codes, K)
+    max_reads = engine_c.max_reads
+
+    # random per-strain membership/informative bits over the union keys
+    meta = np.zeros(codes.size, dtype=np.uint32)
+    for s in range(n_strains):
+        present = rng.random(codes.size) < 0.6
+        informative = present & (rng.random(codes.size) < 0.4)
+        meta |= present.astype(np.uint32) << np.uint32(2 * s)
+        meta |= informative.astype(np.uint32) << np.uint32(2 * s + 1)
+    meta_slots = np.zeros(tb.num_slots, np.uint32)
+    meta_slots[tb.slot_of_key] = meta
+    rows_meta = tb.with_meta(meta_slots)
+    rows_dev = jnp.asarray(rows_meta)
+
+    classify1 = jax.jit(
+        partial(_classify_multi, k=K, max_reads=max_reads, n_strains=n_strains),
+        static_argnames=("h_bits", "salt"),
+    )
+
+    mesh = make_mesh(*mesh_shape)
+    sharded = ShardedKmerEngine(
+        K, mesh, tb.h_bits, tb.salt, tb.num_slots, max_reads=max_reads,
+        layout="bucket",
+    )
+    spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("index", None))
+    rows_sh = jax.device_put(jnp.asarray(rows_meta), spec)
+
+    n_windows = ROWS * (ROW_LEN - K + 1)
+    for b in batches:
+        boundaries = np.full(max_reads + 1, n_windows, dtype=np.int32)
+        boundaries[: b.n_reads] = b.window_starts
+        tot1, inf1 = classify1(
+            rows_dev, b.bases, boundaries, h_bits=tb.h_bits, salt=tb.salt
+        )
+        tot_s, inf_s = sharded.classify_multi_batch(
+            rows_sh, b.bases, boundaries, n_strains
+        )
+        np.testing.assert_array_equal(np.asarray(tot_s).sum(axis=0), np.asarray(tot1))
+        np.testing.assert_array_equal(np.asarray(inf_s).sum(axis=0), np.asarray(inf1))
+    assert int(np.asarray(tot1).sum()) > 0
