@@ -136,6 +136,16 @@ def _load():
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p, ctypes.c_longlong,
         ]
         lib.s2_close_extract.argtypes = [ctypes.c_void_p]
+        lib.s2_compare_build.restype = ctypes.c_void_p
+        lib.s2_compare_build.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.s2_compare_size.restype = ctypes.c_longlong
+        lib.s2_compare_size.argtypes = [ctypes.c_void_p]
+        lib.s2_compare_score.restype = ctypes.c_int
+        lib.s2_compare_score.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.s2_compare_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -538,6 +548,47 @@ class NativeReadExtractor:
     def close(self):
         if getattr(self, "_s", None):
             self._lib.s2_close_extract(self._s)
+            self._s = None
+
+    def __del__(self):
+        self.close()
+
+
+class NativeComparer:
+    """Arbitrary-k genome_compare string engine (the k > 32 path).
+
+    Native twin of pipeline.compare._HostSetComparer (reference
+    src/genome_compare.c:271-354, 475-521): canonical = max(fwd, IUPAC rc)
+    on raw uppercased characters, N windows skipped, hybrid rapid mode.
+    """
+
+    def __init__(self, a_file: str, k: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._s = lib.s2_compare_build(a_file.encode(), k)
+        if not self._s:
+            raise OSError(f"could not read file {a_file}")
+
+    @property
+    def num_kmers(self) -> int:
+        return int(self._lib.s2_compare_size(self._s))
+
+    def score(self, path: str, max_seeds: int, threshold: float) -> tuple[int, int]:
+        hits = ctypes.c_longlong()
+        misses = ctypes.c_longlong()
+        rc = self._lib.s2_compare_score(
+            self._s, path.encode(), max_seeds, threshold,
+            ctypes.byref(hits), ctypes.byref(misses),
+        )
+        if rc != 0:
+            raise OSError(f"could not read file {path}")
+        return int(hits.value), int(misses.value)
+
+    def close(self):
+        if getattr(self, "_s", None):
+            self._lib.s2_compare_free(self._s)
             self._s = None
 
     def __del__(self):

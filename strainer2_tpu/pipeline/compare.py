@@ -67,7 +67,13 @@ def _canonical_bytes(window: bytes) -> bytes:
 class _HostSetComparer:
     """String-set engine for k > 32 (beyond the 2-bit packed code range);
     matches the reference's arbitrary-seed behavior exactly, including
-    windows with non-ACGT letters other than N."""
+    windows with non-ACGT letters other than N.
+
+    The default path is the native C++ twin (NativeComparer: FNV-probed
+    arena set with software-prefetched probes — genome-scale speed at any
+    seed length); this pure-Python engine is its oracle and fallback.
+    STRAINER2_NATIVE_COMPARE=0 forces the Python path for A/B checks.
+    """
 
     def __init__(self, a_file: str, k: int):
         self.k = k
@@ -108,10 +114,22 @@ class GenomeComparer:
         self.cfg = cfg or CompareConfig()
         self.a_file = a_file
         if self.cfg.k > 32:
-            # beyond the packed-code range: exact string-set host engine
+            # beyond the packed-code range: exact string engine, native C++
+            # by default with the Python set as oracle/fallback
             self.engine = None
             self.index = None
-            self._host = _HostSetComparer(a_file, self.cfg.k)
+            self._host = None
+            import os
+
+            if os.environ.get("STRAINER2_NATIVE_COMPARE", "1") != "0":
+                try:
+                    from strainer2_tpu.native import NativeComparer
+
+                    self._host = NativeComparer(a_file, self.cfg.k)
+                except (RuntimeError, OSError):
+                    self._host = None  # unreadable/unavailable: Python path
+            if self._host is None:
+                self._host = _HostSetComparer(a_file, self.cfg.k)
             return
         self._host = None
         self.engine = KmerEngine(self.cfg.k)
@@ -125,7 +143,14 @@ class GenomeComparer:
         """Score one query file; prints the reference's result line."""
         cfg = self.cfg
         if self._host is not None:
-            hits, misses = self._host.score(path, cfg.max_seeds, cfg.threshold_for_fullmap)
+            try:
+                hits, misses = self._host.score(
+                    path, cfg.max_seeds, cfg.threshold_for_fullmap
+                )
+            except OSError:
+                # surface the same error the streaming reader would raise
+                next(iter(read_fastx(path)), None)
+                raise
             out.write(
                 f"{self.a_file}\t{path}\t{hits}\t{misses}\t{_c_fraction(hits, misses)}\n"
             )

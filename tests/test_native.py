@@ -171,3 +171,45 @@ def test_native_scan_matches_numpy(tmp_path):
         cc, vv = canonical_codes_np(seq_to_base_codes(s), K)
         expect.extend(cc[vv].tolist())
     np.testing.assert_array_equal(nat, np.asarray(expect, dtype=np.uint64))
+
+
+def test_native_comparer_matches_python_oracle(tmp_path):
+    """Arbitrary-k compare engine (s2_compare_*): hits/misses identical to
+    the pure-Python string-set oracle on IUPAC-rich sequences, for full
+    scans and for rapid-mode early exits at every decision outcome."""
+    import numpy as np
+    import pytest
+
+    from strainer2_tpu.native import NativeComparer, available
+    from strainer2_tpu.pipeline.compare import _HostSetComparer
+
+    if not available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(5)
+    alphabet = np.frombuffer(b"ACGTACGTACGTACGTNRYK", dtype=np.uint8)  # mostly ACGT
+
+    def rand_fasta(path, n_recs, lo, hi):
+        with open(path, "wb") as f:
+            for i in range(n_recs):
+                ln = int(rng.integers(lo, hi))
+                seq = bytes(alphabet[rng.integers(0, alphabet.size, size=ln)])
+                f.write(b">r%d\n" % i)
+                # mixed-case + multi-line to exercise the raw reader
+                f.write(seq[: ln // 2].lower() + b"\n" + seq[ln // 2 :] + b"\n")
+
+    a = str(tmp_path / "a.fa")
+    b = str(tmp_path / "b.fa")
+    rand_fasta(a, 8, 30, 400)
+    rand_fasta(b, 20, 30, 400)
+
+    for k in (33, 40, 64, 101):
+        nat = NativeComparer(a, k)
+        py = _HostSetComparer(a, k)
+        assert nat.num_kmers == len(py.kmers)
+        for max_seeds, thr in [(0, 0.1), (50, 0.001), (50, 0.999), (123, 0.05)]:
+            assert nat.score(b, max_seeds, thr) == py.score(b, max_seeds, thr), (
+                k, max_seeds, thr,
+            )
+        # self-compare: all hits
+        assert nat.score(a, 0, 0.1) == py.score(a, 0, 0.1)
