@@ -21,7 +21,11 @@ class Pe2EndedEarlyError(IOError):
 
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libstrainer2host.so")
+# STRAINER2_NATIVE_LIB points at an alternate build (e.g. the TSan build
+# from `make tsan`, used by tools/tsan_stress.sh)
+_SO = os.environ.get(
+    "STRAINER2_NATIVE_LIB", os.path.join(_DIR, "libstrainer2host.so")
+)
 _lock = threading.Lock()
 _lib = None
 _tried = False
