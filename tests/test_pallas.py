@@ -70,3 +70,24 @@ def test_pallas_bucket_lookup_matches_xla(variant):
     f = np.asarray(ref_found)
     np.testing.assert_array_equal(np.asarray(slot)[f], np.asarray(ref_slot)[f])
     np.testing.assert_array_equal(np.asarray(meta_out)[f], np.asarray(ref_meta)[f])
+
+
+def test_engine_pallas_extraction_path_matches_jnp(monkeypatch):
+    """KmerEngine.extract_codes with the Pallas TPU branch force-enabled
+    (kernel interprets on CPU) returns exactly the jnp path's codes."""
+    import strainer2_tpu.pipeline.engine as engine_mod
+    from strainer2_tpu.pipeline.engine import KmerEngine
+    from tests.oracle import random_dna, seq_to_base_codes
+
+    rng = np.random.default_rng(9)
+    rows, length = 16, 256
+    bases = np.full((rows, length), 4, dtype=np.uint8)
+    for r in range(rows):
+        s = seq_to_base_codes(random_dna(rng, int(rng.integers(40, length)), n_prob=0.05))
+        bases[r, : s.size] = s
+
+    eng = KmerEngine(31)
+    jnp_codes = eng.extract_codes(bases)
+    monkeypatch.setattr(engine_mod, "_pallas_extract_on", lambda: True)
+    pallas_codes = eng.extract_codes(bases)
+    np.testing.assert_array_equal(jnp_codes, pallas_codes)
