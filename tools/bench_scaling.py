@@ -40,6 +40,18 @@ def main() -> None:
     from strainer2_tpu.parallel.sharding import ShardedKmerEngine, make_mesh
 
     devices = jax.devices()
+    virtual = devices[0].platform == "cpu"
+    print(
+        f"# platform={devices[0].platform} n_devices={len(devices)}"
+        + (
+            "  (VIRTUAL mesh: devices share the host's cores, so aggregate "
+            "throughput cannot grow with N; the signal is (a) flat aggregate "
+            "= zero sharding/collective overhead and (b) exactly-linear hit "
+            "sums = bit-exact sharded counting)"
+            if virtual
+            else ""
+        )
+    )
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, size=args.kmers + K - 1, dtype=np.uint8)
     codes, valid = canonical_codes_np(genome, K)
@@ -75,9 +87,16 @@ def main() -> None:
         lookups = args.steps * rows * (ROW_LEN - K + 1)
         results[n] = lookups / dt
         base = results[1]
+        eff = results[n] / (base * n) * 100
+        overhead = results[n] / base * 100
         print(
             f"devices={n:3d}  aggregate={results[n]/1e6:8.1f} M lookups/s  "
-            f"efficiency={results[n]/(base*n)*100:5.1f}%  (hits {total})"
+            + (
+                f"aggregate-vs-1dev={overhead:5.1f}% (100% = no sharding overhead)"
+                if virtual
+                else f"efficiency={eff:5.1f}%"
+            )
+            + f"  (hits {total})"
         )
         n *= 2
 
