@@ -91,6 +91,14 @@ class ScrubTable:
     meta: np.ndarray  # metagenome counts (summed over files)
     drug_mask: np.ndarray  # bool, True where any file had drug_count > 0
     has_drug: bool
+    # Union-hash sizes for the stats lines when multi-file key columns
+    # differ: the reference reports len(pangenome_hash) etc. over the
+    # UNION of all files' keys (kmer_scrub_filter.py:187-189,225,230),
+    # which exceeds the per-row columns above (restricted to the last
+    # file's keys).  None = columns and union coincide (the usual case).
+    stat_pan_keys: "int | None" = None
+    stat_meta_keys: "int | None" = None
+    stat_drug_keys: "int | None" = None
 
 
 def _parse_one_native(path: str):
@@ -212,7 +220,11 @@ def parse_scrub_tables(paths: Sequence[str]) -> ScrubTable:
     pan = np.asarray([agg_pan.get(k, 0) for k in keys], dtype=np.int64)
     meta = np.asarray([agg_meta.get(k, 0) for k in keys], dtype=np.int64)
     drug_mask = np.asarray([agg_drugmask.get(k, False) for k in keys], dtype=bool)
-    return ScrubTable(keys, strain, pan, meta, drug_mask, has_drug)
+    return ScrubTable(
+        keys, strain, pan, meta, drug_mask, has_drug,
+        stat_pan_keys=len(agg_pan), stat_meta_keys=len(agg_meta),
+        stat_drug_keys=len(agg_drugmask) if has_drug else None,
+    )
 
 
 def _fmt(x: float) -> str:
@@ -236,8 +248,16 @@ def run_filter(
     err = err if err is not None else sys.stderr
 
     all_kmers = len(table.keys)
-    num_pan = int(np.count_nonzero(table.pan))
-    num_meta = int(np.count_nonzero(table.meta))
+    num_pan = (
+        table.stat_pan_keys
+        if table.stat_pan_keys is not None
+        else int(np.count_nonzero(table.pan))
+    )
+    num_meta = (
+        table.stat_meta_keys
+        if table.stat_meta_keys is not None
+        else int(np.count_nonzero(table.meta))
+    )
     out.write(
         "#total kmers in strain:%d,%d pangenome: %d metagenome: %d\n"
         % (all_kmers, all_kmers, num_pan, num_meta)
@@ -246,7 +266,11 @@ def run_filter(
     alive = np.ones(all_kmers, dtype=bool)
     drug_scrubbed = 0
     if table.has_drug:
-        num_drug = int(np.count_nonzero(table.drug_mask))
+        num_drug = (
+            table.stat_drug_keys
+            if table.stat_drug_keys is not None
+            else int(np.count_nonzero(table.drug_mask))
+        )
         out.write("#total kmers cross drug:%d\n" % num_drug)
         alive &= ~table.drug_mask
         remaining = int(np.count_nonzero(alive))

