@@ -163,6 +163,7 @@ def _count_panel(
     else:
         counts = engine.init_counts(index)
     if list_path is not None:
+        todo: list[str] = []
         for path in read_list_file(list_path):
             _progress_line(progress, path)
             if skip_path is not None and path == skip_path:
@@ -171,10 +172,81 @@ def _count_panel(
             if done[path] > 0:  # completed in a previous run (multiset:
                 done[path] -= 1  # duplicate list entries re-count)
                 continue
-            counts = count_panel_file(engine, index, counts, path, cfg.rows, cfg.row_len)
-            if checkpoint is not None:
-                checkpoint.record(column, path, engine.finalize_counts(counts))
+            todo.append(path)
+        nc = None
+        if checkpoint is None and len(todo) > 1 and _use_native_counting(engine):
+            nc_fn = getattr(index, "native_counter", None)
+            nc = nc_fn() if nc_fn is not None else None
+        n_threads = _count_threads(len(todo)) if nc is not None else 1
+        if n_threads > 1:
+            counts_np = engine.finalize_counts(counts)
+            if not (counts_np.flags.c_contiguous and counts_np.flags.writeable):
+                counts_np = counts_np.copy()
+            counts = _count_files_parallel(nc, counts_np, todo, n_threads)
+        else:
+            for path in todo:
+                counts = count_panel_file(
+                    engine, index, counts, path, cfg.rows, cfg.row_len
+                )
+                if checkpoint is not None:
+                    checkpoint.record(column, path, engine.finalize_counts(counts))
     return index.key_values(engine.finalize_counts(counts))
+
+
+def _count_threads(n_files: int) -> int:
+    """Worker count for parallel panel counting (STRAINER2_COUNT_THREADS
+    overrides; default caps at 8 — gzip decode + hashing saturate memory
+    bandwidth well before the core count on big hosts)."""
+    import os
+
+    env = os.environ.get("STRAINER2_COUNT_THREADS")
+    if env is not None:
+        return max(1, min(int(env), n_files))
+    return max(1, min(os.cpu_count() or 1, 8, n_files))
+
+
+def _count_files_parallel(nc, counts_np: np.ndarray, paths: list, n_threads: int):
+    """Count panel files concurrently, one native fused scan per worker
+    thread (GIL released inside s2_count_file) into PER-THREAD buffers,
+    then merge by integer addition — order-independent, so the result is
+    byte-identical to the sequential scan (the same property that makes
+    the psum mesh merge exact; concurrency shape TSan-verified by
+    tools/tsan_stress.sh).  On unreadable files the error of the
+    earliest file in list order is raised, as the sequential loop would.
+    """
+    import concurrent.futures
+    import threading
+
+    from strainer2_tpu.utils import observability as _obs
+    from strainer2_tpu.utils.observability import stage
+
+    local = threading.local()
+    bufs: list[np.ndarray] = []
+    bufs_lock = threading.Lock()
+    outcomes: list = [None] * len(paths)
+
+    def work(i: int, path: str) -> None:
+        buf = getattr(local, "buf", None)
+        if buf is None:
+            buf = np.zeros_like(counts_np)
+            with bufs_lock:
+                bufs.append(buf)
+            local.buf = buf
+        try:
+            outcomes[i] = nc.count_file(buf, path)
+        except BaseException as e:  # earliest-in-list error re-raised below
+            outcomes[i] = e
+
+    with stage("scrub.panel_lookups"):
+        with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+            list(ex.map(lambda a: work(*a), enumerate(paths)))
+    for o in outcomes:
+        if isinstance(o, BaseException):
+            raise o
+    for buf in bufs:
+        counts_np += buf
+    _obs._items["scrub.panel_lookups"] += int(sum(outcomes))
+    return counts_np
 
 
 def run_scrub_count(

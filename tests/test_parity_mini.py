@@ -290,3 +290,16 @@ def test_scrub_count_jit_engine_path_parity(monkeypatch):
     out = _Out()
     run_scrub_count("data/strainA.fna.gz", "data/genomes.txt", "data/metagenomes.txt", out=out)
     assert out.bytes() == expected("scrub_counts.tsv")
+
+
+def test_scrub_count_parallel_threads_parity(monkeypatch):
+    """Parallel per-file panel counting (per-thread buffers merged by
+    integer addition) is byte-identical to the sequential scan."""
+    from strainer2_tpu.pipeline.scrub_count import run_scrub_count
+
+    monkeypatch.setenv("STRAINER2_COUNT_THREADS", "4")
+    out = _Out()
+    run_scrub_count(
+        "data/strainA.fna.gz", "data/genomes.txt", "data/metagenomes.txt", out=out
+    )
+    assert out.bytes() == expected("scrub_counts.tsv")
