@@ -113,15 +113,17 @@ class GenomeComparer:
     def __init__(self, a_file: str, cfg: CompareConfig | None = None):
         self.cfg = cfg or CompareConfig()
         self.a_file = a_file
+        self.engine = None
+        self.index = None
+        self._host = None
+
+        import os
+
+        native_ok = os.environ.get("STRAINER2_NATIVE_COMPARE", "1") != "0"
         if self.cfg.k > 32:
             # beyond the packed-code range: exact string engine, native C++
             # by default with the Python set as oracle/fallback
-            self.engine = None
-            self.index = None
-            self._host = None
-            import os
-
-            if os.environ.get("STRAINER2_NATIVE_COMPARE", "1") != "0":
+            if native_ok:
                 try:
                     from strainer2_tpu.native import NativeComparer
 
@@ -131,7 +133,22 @@ class GenomeComparer:
             if self._host is None:
                 self._host = _HostSetComparer(a_file, self.cfg.k)
             return
-        self._host = None
+        if native_ok:
+            # CPU backend: the native string engine beats the XLA CPU
+            # gather path at any seed length (and scores IUPAC letters
+            # exactly like the reference's string hash, where the packed
+            # encoder can only mask them); the jit engine stays the
+            # device path (docs/PERFORMANCE.md).
+            import jax
+
+            if jax.default_backend() != "tpu":
+                try:
+                    from strainer2_tpu.native import NativeComparer
+
+                    self._host = NativeComparer(a_file, self.cfg.k)
+                    return
+                except (RuntimeError, OSError):
+                    self._host = None
         self.engine = KmerEngine(self.cfg.k)
         # set semantics: the reference inserts each canonical k-mer once
         # (reference src/genome_compare.c:475-521)

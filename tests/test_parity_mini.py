@@ -303,3 +303,35 @@ def test_scrub_count_parallel_threads_parity(monkeypatch):
         "data/strainA.fna.gz", "data/genomes.txt", "data/metagenomes.txt", out=out
     )
     assert out.bytes() == expected("scrub_counts.tsv")
+
+
+@pytest.mark.parametrize(
+    "args,golden",
+    [
+        # mirrors tools/make_mini_fixtures.py gc invocations (k <= 32:
+        # the native string engine on CPU, jit engine on device)
+        (dict(b_file="data/panel1.fna.gz", print_header=True), "gc_single.txt"),
+        (dict(b_list="data/compare_list.txt", cfg_kw=dict(k=17)), "gc_list_s17.txt"),
+        (
+            dict(b_list="data/compare_list.txt",
+                 cfg_kw=dict(max_seeds=300, threshold_for_fullmap=0.5)),
+            "gc_rapid.txt",
+        ),
+        (
+            dict(b_list="data/compare_list.txt",
+                 cfg_kw=dict(max_seeds=100_000, threshold_for_fullmap=0.05)),
+            "gc_strainmode.txt",
+        ),
+    ],
+)
+@pytest.mark.parametrize("native", [True, False])
+def test_genome_compare_small_k_parity(args, golden, native, monkeypatch):
+    from strainer2_tpu.pipeline.compare import CompareConfig, run_genome_compare
+
+    if not native:
+        monkeypatch.setenv("STRAINER2_NATIVE_COMPARE", "0")
+    args = dict(args)
+    cfg = CompareConfig(**args.pop("cfg_kw", {}))
+    out = _Out()
+    run_genome_compare("data/strainA.fna.gz", cfg=cfg, out=out, **args)
+    assert out.bytes() == expected(golden)
