@@ -12,9 +12,12 @@ hit/miss mix:
   multi16 — the 16-strain single-pass classify (pipeline/multi_detect.py):
             the SAME single gathered row answers membership + informative
             class for 16 strains at once (2 meta bits per strain), so its
-            *effective* rate is 16 strain-lookups per window.  This is the
-            per-chip path to the >=1e9 lookups/s north star: one v5e chip
-            does the membership work the reference needs 16 cores for.
+            *effective* rate is 16 strain-lookups per window.
+  multi32 — the 32-strain pass: the row's TWO 16-lane meta blocks carry 64
+            meta bits per key (bucket_lookup_wide), so one serialized
+            access answers 32 strains.  This is the per-chip path to the
+            >=1e9 lookups/s north star: one v5e chip does the membership
+            work the reference needs 32 cores for.
 
 Methodology (docs/PERFORMANCE.md "Measurement caveats"): each step runs
 inside a jitted lax.fori_loop whose body depends on the loop counter (so
@@ -24,7 +27,7 @@ cost per step is reported.  Accumulated result sums are checked for
 linearity across chain lengths, which fails if any execution is elided.
 
 Prints exactly one JSON line.  The headline metric is the effective
-16-strain rate; the raw per-window rates for all three steps ride along
+32-strain rate; the raw per-window rates for all four steps ride along
 in the same object.
 
 Baseline: the reference C engine sustains ~1e7 canonical-k-mer hash
@@ -44,6 +47,7 @@ K = 31
 ROWS, ROW_LEN = 512, 4096
 INDEX_KMERS = 6_700_000
 N_STRAINS = 16
+N_STRAINS_WIDE = 32
 SLICES = 4  # LICM-defeating rotation of input batches
 N_SHORT, N_LONG = 4, 36  # chain lengths (both multiples of SLICES)
 
@@ -53,7 +57,11 @@ def main() -> None:
     import jax.numpy as jnp
 
     from strainer2_tpu.index import StrainIndex
-    from strainer2_tpu.ops.lookup import accumulate_counts, bucket_lookup
+    from strainer2_tpu.ops.lookup import (
+        accumulate_counts,
+        bucket_lookup,
+        bucket_lookup_wide,
+    )
     from strainer2_tpu.ops.packing import canonical_codes_np, canonical_windows
 
     rng = np.random.default_rng(7)
@@ -96,6 +104,9 @@ def main() -> None:
     # the per-query work is independent of the bit contents
     meta16 = rng.integers(0, 1 << 32, size=t.num_slots, dtype=np.uint64).astype(np.uint32)
     rows16_dev = jnp.asarray(t.with_meta(meta16))
+    # 32-strain rows: both meta blocks carry packed bits (64 bits/key)
+    meta_hi = rng.integers(0, 1 << 32, size=t.num_slots, dtype=np.uint64).astype(np.uint32)
+    rows32_dev = jnp.asarray(t.with_meta2(meta16, meta_hi))
 
     # query slices: half genome-derived rows (hits), half random (misses)
     bases = rng.integers(0, 4, size=(SLICES, ROWS, ROW_LEN), dtype=np.uint8)
@@ -140,6 +151,29 @@ def main() -> None:
         present = ((m[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)
         informative = ((m[:, None] >> (shifts[None, :] + 1)) & 1).astype(jnp.int32)
         zero = jnp.zeros((1, N_STRAINS), dtype=jnp.int32)
+        cum_tot = jnp.concatenate([zero, jnp.cumsum(present, axis=0)])
+        cum_inf = jnp.concatenate([zero, jnp.cumsum(informative, axis=0)])
+        b0, b1 = boundaries_dev[:-1], boundaries_dev[1:]
+        tot = cum_tot[b1] - cum_tot[b0]
+        inf = cum_inf[b1] - cum_inf[b0]
+        return (jnp.sum(tot) + jnp.sum(inf)).astype(jnp.uint32)
+
+    def expand(m, n_strains):
+        shifts = jnp.arange(n_strains, dtype=jnp.uint32) * 2
+        present = ((m[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)
+        informative = ((m[:, None] >> (shifts[None, :] + 1)) & 1).astype(jnp.int32)
+        return present, informative
+
+    def multi32_body(rows, bi, _carry):
+        # mirror of the wide path in pipeline/multi_detect._classify_multi
+        win = canonical_windows(bi, K)
+        found, _, mlo, mhi = bucket_lookup_wide(rows, h_bits, salt, win.hi, win.lo)
+        hit = (found & win.valid).reshape(-1)
+        p_lo, i_lo = expand(jnp.where(hit, mlo.reshape(-1), 0), 16)
+        p_hi, i_hi = expand(jnp.where(hit, mhi.reshape(-1), 0), N_STRAINS_WIDE - 16)
+        present = jnp.concatenate([p_lo, p_hi], axis=1)
+        informative = jnp.concatenate([i_lo, i_hi], axis=1)
+        zero = jnp.zeros((1, N_STRAINS_WIDE), dtype=jnp.int32)
         cum_tot = jnp.concatenate([zero, jnp.cumsum(present, axis=0)])
         cum_inf = jnp.concatenate([zero, jnp.cumsum(informative, axis=0)])
         b0, b1 = boundaries_dev[:-1], boundaries_dev[1:]
@@ -209,7 +243,10 @@ def main() -> None:
     multi_rate = measure(
         lambda n: make_chain(multi_body, n, jnp.uint32(0)), rows16_dev, "multi16"
     )
-    effective = multi_rate * N_STRAINS
+    multi32_rate = measure(
+        lambda n: make_chain(multi32_body, n, jnp.uint32(0)), rows32_dev, "multi32"
+    )
+    effective = multi32_rate * N_STRAINS_WIDE
 
     print(
         json.dumps(
@@ -221,10 +258,12 @@ def main() -> None:
                 "count_lookups_per_s": round(count_rate),
                 "detect_lookups_per_s": round(detect_rate),
                 "multi16_windows_per_s": round(multi_rate),
-                "n_strains_per_pass": N_STRAINS,
+                "multi32_windows_per_s": round(multi32_rate),
+                "n_strains_per_pass": N_STRAINS_WIDE,
                 "note": (
-                    "effective = multi16 windows/s x 16 strains resolved per "
-                    "gathered row; reference core handles one strain at ~1e7/s"
+                    "effective = multi32 windows/s x 32 strains resolved per "
+                    "gathered row (64 meta bits across the row's two meta "
+                    "blocks); reference core handles one strain at ~1e7/s"
                 ),
             }
         )

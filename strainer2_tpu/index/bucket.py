@@ -61,6 +61,17 @@ class BucketTable:
         )
         return out
 
+    def with_meta2(self, per_slot_lo: np.ndarray, per_slot_hi: np.ndarray) -> np.ndarray:
+        """Copy of the row table with BOTH meta blocks filled (64 meta
+        bits per key: lanes 32:48 = lo word, 48:64 = hi word).  Resolved
+        together by ops.lookup.bucket_lookup_wide from the same single
+        gathered row — the 32-strain-per-pass layout."""
+        out = self.with_meta(per_slot_lo)
+        out[:, 48:64] = (
+            np.asarray(per_slot_hi, dtype=np.uint32).reshape(-1, KEYS_PER_BUCKET)
+        )
+        return out
+
 
 def build_bucket_table(codes: np.ndarray, k: int, h_bits: int | None = None) -> BucketTable:
     """Vectorized bucket placement for unique uint64 ``codes``."""

@@ -106,6 +106,10 @@ def _load():
         lib.s2_parse_scrub_close.argtypes = [ctypes.c_void_p]
         lib.s2_count_build.restype = ctypes.c_void_p
         lib.s2_count_build.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong]
+        lib.s2_count_build2.restype = ctypes.c_void_p
+        lib.s2_count_build2.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+        ]
         lib.s2_count_file.restype = ctypes.c_longlong
         lib.s2_count_file.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
@@ -430,7 +434,10 @@ class NativeClassifier:
     sample's read stream — the detection hot loop fused natively, with the
     per-k-mer class (NON_INFORMATIVE/INFORMATIVE) as the hash value."""
 
-    def __init__(self, codes: np.ndarray, kmer_type: np.ndarray, k: int):
+    def __init__(self, codes: np.ndarray, kmer_type: np.ndarray, k: int,
+                 values_hi: np.ndarray | None = None):
+        """values_hi (optional): second 32-bit value word per key —
+        strains 16..31 of the 64-bit multi-strain meta (32-per-pass)."""
         lib = _load()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -438,9 +445,16 @@ class NativeClassifier:
         self.k = k
         codes = np.ascontiguousarray(codes, dtype=np.uint64)
         values = np.ascontiguousarray(kmer_type, dtype=np.int32)
-        self._h = lib.s2_count_build(
-            codes.ctypes.data, values.ctypes.data, codes.shape[0]
-        )
+        if values_hi is None:
+            self._h = lib.s2_count_build(
+                codes.ctypes.data, values.ctypes.data, codes.shape[0]
+            )
+        else:
+            hi = np.ascontiguousarray(values_hi, dtype=np.int32)
+            self._h = lib.s2_count_build2(
+                codes.ctypes.data, values.ctypes.data, hi.ctypes.data,
+                codes.shape[0],
+            )
         if not self._h:
             raise MemoryError("native classify table allocation failed")
 

@@ -1034,8 +1034,11 @@ struct CountTable {
   int32_t zero_slot;  // slot for the literal key 0 (generic-input safety)
 };
 
-void* s2_count_build(const uint64_t* codes, const int32_t* slot_of_key,
-                     long long n) {
+// values_hi (optional, nullable): second 32-bit value word per key,
+// stored in the otherwise-padding Rec field — carries strains 16..31 of
+// the 64-bit multi-strain meta (pipeline/multi_detect.py 32-per-pass).
+void* s2_count_build_impl(const uint64_t* codes, const int32_t* slot_of_key,
+                          const int32_t* values_hi, long long n) {
   auto* t = new CountTable();
   int bits = 3;
   while ((1LL << bits) < 2 * n) ++bits;
@@ -1068,8 +1071,19 @@ void* s2_count_build(const uint64_t* codes, const int32_t* slot_of_key,
     while (t->recs[p].code != 0) p = (p + 1) & mask;
     t->recs[p].code = c;
     t->recs[p].slot = slot_of_key[i];
+    if (values_hi) t->recs[p].pad = values_hi[i];
   }
   return t;
+}
+
+void* s2_count_build(const uint64_t* codes, const int32_t* slot_of_key,
+                     long long n) {
+  return s2_count_build_impl(codes, slot_of_key, nullptr, n);
+}
+
+void* s2_count_build2(const uint64_t* codes, const int32_t* values_lo,
+                      const int32_t* values_hi, long long n) {
+  return s2_count_build_impl(codes, values_lo, values_hi, n);
 }
 
 // Scan one FASTA/FASTQ(.gz) file, counting hits into counts[slot].
@@ -1357,20 +1371,28 @@ static void classify_one_read_multi(CountTable* t, const std::vector<uint8_t>& s
     const uint64_t c = codes[(size_t)i];
     if (c == 0) continue;  // canonical-max codes are never 0
     size_t p = hash(c);
-    uint32_t m = 0;
+    uint32_t mlo = 0, mhi = 0;
+    bool found = false;
     for (;;) {
       const uint64_t cur = t->recs[p].code;
       if (cur == c) {
-        m = (uint32_t)t->recs[p].slot;
+        mlo = (uint32_t)t->recs[p].slot;
+        mhi = (uint32_t)t->recs[p].pad;  // strains 16..31 (s2_count_build2)
+        found = true;
         break;
       }
       if (cur == 0) break;
       p = (p + 1) & cmask;
     }
-    if (m) {
-      for (int s = 0; s < n_strains; ++s) {
-        tot[s] += (m >> (2 * s)) & 1u;
-        inf[s] += (m >> (2 * s + 1)) & 1u;
+    if (found) {
+      const int n_lo = n_strains < 16 ? n_strains : 16;
+      for (int s = 0; s < n_lo; ++s) {
+        tot[s] += (mlo >> (2 * s)) & 1u;
+        inf[s] += (mlo >> (2 * s + 1)) & 1u;
+      }
+      for (int s = 16; s < n_strains; ++s) {
+        tot[s] += (mhi >> (2 * (s - 16))) & 1u;
+        inf[s] += (mhi >> (2 * (s - 16) + 1)) & 1u;
       }
     }
   }

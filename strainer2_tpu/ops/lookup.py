@@ -26,7 +26,13 @@ import numpy as np
 
 from strainer2_tpu.index.hashing import cuckoo_slots
 
-__all__ = ["cuckoo_lookup", "bucket_lookup", "sorted_lookup", "accumulate_counts"]
+__all__ = [
+    "cuckoo_lookup",
+    "bucket_lookup",
+    "bucket_lookup_wide",
+    "sorted_lookup",
+    "accumulate_counts",
+]
 
 
 def cuckoo_lookup(
@@ -137,3 +143,38 @@ def bucket_lookup(
     # meta without a second gather: masked lane reduction
     meta = jnp.sum(jnp.where(eq, row[:, 32:48], jnp.uint32(0)), axis=1, dtype=jnp.uint32)
     return found.reshape(shape), slot.reshape(shape), meta.reshape(shape)
+
+
+def bucket_lookup_wide(
+    rows: jax.Array,  # (num_buckets, 64) uint32 — see index/bucket.py layout
+    h_bits: int,
+    salt: int,
+    qhi: jax.Array,
+    qlo: jax.Array,
+):
+    """bucket_lookup returning BOTH meta blocks of the gathered row.
+
+    The 64-lane row carries two 16-lane meta blocks (lanes 32:48 and
+    48:64 — BucketTable.with_meta2), giving 64 meta bits per key from the
+    SAME single serialized access; this is how a pass answers 32 strains
+    (2 bits each) at the one-gather cost.  Returns (found, slot, meta_lo,
+    meta_hi) with shapes of qhi.
+    """
+    shape = qhi.shape
+    qhi = qhi.reshape(-1)
+    qlo = qlo.reshape(-1)
+    shi = qhi ^ jnp.uint32(salt) if salt else qhi
+    bucket = cuckoo_slots(shi, qlo, h_bits, 0).astype(jnp.int32)
+    row = rows[bucket]  # (Q, 64): the only random access
+    eq = (row[:, 0:16] == qhi[:, None]) & (row[:, 16:32] == qlo[:, None])
+    found = eq.any(axis=1)
+    cell = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    slot = bucket * jnp.int32(16) + cell
+    meta_lo = jnp.sum(jnp.where(eq, row[:, 32:48], jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+    meta_hi = jnp.sum(jnp.where(eq, row[:, 48:64], jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+    return (
+        found.reshape(shape),
+        slot.reshape(shape),
+        meta_lo.reshape(shape),
+        meta_hi.reshape(shape),
+    )

@@ -233,6 +233,34 @@ class ShardedKmerEngine:
         return hit, slot_loc, meta
 
     @staticmethod
+    def _bucket_local_lookup_wide(rows_loc, qhi, qlo, h_bits, salt, shard_buckets):
+        """_bucket_local_lookup returning BOTH 16-lane meta blocks (64
+        meta bits/key — the 32-strain-per-pass layout, BucketTable.with_meta2)."""
+        from strainer2_tpu.index.hashing import cuckoo_slots as _slots
+
+        shi = qhi ^ jnp.uint32(salt) if salt else qhi
+        bucket = _slots(shi, qlo, h_bits, 0).astype(jnp.int32)
+        offset = jax.lax.axis_index("index") * shard_buckets
+        local = bucket - offset
+        mine = (local >= 0) & (local < shard_buckets)
+        row = rows_loc[jnp.where(mine, local, 0)]
+        eq = (row[:, 0:16] == qhi[:, None]) & (row[:, 16:32] == qlo[:, None])
+        hit = mine & eq.any(axis=1)
+        mlo = jnp.where(
+            hit,
+            jnp.sum(jnp.where(eq, row[:, 32:48], jnp.uint32(0)), axis=1,
+                    dtype=jnp.uint32),
+            0,
+        )
+        mhi = jnp.where(
+            hit,
+            jnp.sum(jnp.where(eq, row[:, 48:64], jnp.uint32(0)), axis=1,
+                    dtype=jnp.uint32),
+            0,
+        )
+        return hit, mlo, mhi
+
+    @staticmethod
     def _classify_multi_body_bucket(rows_loc, bases_loc, boundaries, *, k, h_bits,
                                     salt, shard_buckets, n_strains):
         """Sharded twin of multi_detect._classify_multi: per-read per-strain
@@ -240,18 +268,32 @@ class ShardedKmerEngine:
         Each key is owned by exactly one index shard, so a psum over 'index'
         reconstructs the global meta word; per-read sums come from the
         boundary cumsum restricted to this data shard's window range."""
+        from strainer2_tpu.pipeline.multi_detect import _expand_strain_bits
+
         win = canonical_windows(bases_loc, k)
         qhi = win.hi.reshape(-1)
         qlo = win.lo.reshape(-1)
-        hit, _, meta = ShardedKmerEngine._bucket_local_lookup(
-            rows_loc, qhi, qlo, h_bits, salt, shard_buckets
-        )
-        m = jnp.where(hit & win.valid.reshape(-1), meta, 0)
-        m_g = jax.lax.psum(m, "index")  # exactly one shard owns each key
-
-        shifts = jnp.arange(n_strains, dtype=jnp.uint32) * 2
-        present = ((m_g[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)
-        informative = ((m_g[:, None] >> (shifts[None, :] + 1)) & 1).astype(jnp.int32)
+        valid = win.valid.reshape(-1)
+        if n_strains > 16:
+            hit, mlo, mhi = ShardedKmerEngine._bucket_local_lookup_wide(
+                rows_loc, qhi, qlo, h_bits, salt, shard_buckets
+            )
+            keep = hit & valid
+            # exactly one shard owns each key: psum reconstructs globals
+            mlo_g = jax.lax.psum(jnp.where(keep, mlo, 0), "index")
+            mhi_g = jax.lax.psum(jnp.where(keep, mhi, 0), "index")
+            p_lo, i_lo = _expand_strain_bits(mlo_g, 16, jnp)
+            p_hi, i_hi = _expand_strain_bits(mhi_g, n_strains - 16, jnp)
+            present = jnp.concatenate([p_lo, p_hi], axis=1)
+            informative = jnp.concatenate([i_lo, i_hi], axis=1)
+            m_g = mlo_g  # shape carrier for the cumsum below
+        else:
+            hit, _, meta = ShardedKmerEngine._bucket_local_lookup(
+                rows_loc, qhi, qlo, h_bits, salt, shard_buckets
+            )
+            m = jnp.where(hit & valid, meta, 0)
+            m_g = jax.lax.psum(m, "index")  # exactly one shard owns each key
+            present, informative = _expand_strain_bits(m_g, n_strains, jnp)
 
         n_local = m_g.shape[0]
         off = jax.lax.axis_index("data") * n_local

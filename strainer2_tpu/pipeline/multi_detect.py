@@ -38,7 +38,9 @@ from strainer2_tpu.pipeline.engine import KmerEngine
 
 __all__ = ["MultiStrainDetector", "MAX_STRAINS_PER_PASS"]
 
-MAX_STRAINS_PER_PASS = 16  # 2 meta bits per strain in the 32-bit lane
+MAX_STRAINS_PER_PASS = 32  # 2 meta bits per strain across the row's TWO
+# 16-lane meta blocks (64 bits/key; ops.lookup.bucket_lookup_wide) — the
+# same single gathered row answers all 32 strains
 
 
 @dataclass
@@ -138,22 +140,28 @@ class MultiStrainDetector:
                 )
 
         # union table meta: bit 2s = strain s has this k-mer,
-        # bit 2s+1 = informative for strain s
-        meta = np.zeros(union.shape[0], dtype=np.uint32)
+        # bit 2s+1 = informative for strain s (64-bit word; strains 0-15
+        # in the low half, 16-31 in the high half)
+        meta = np.zeros(union.shape[0], dtype=np.uint64)
         for s, (codes, types) in enumerate(zip(per_strain_codes, per_strain_types)):
             pos = np.searchsorted(union, codes)
-            meta[pos] |= np.uint32(1 << (2 * s))
+            meta[pos] |= np.uint64(1 << (2 * s))
             inf = types == INFORMATIVE_KMER
-            meta[pos[inf]] |= np.uint32(1 << (2 * s + 1))
-        meta_slots = np.zeros(self.table.num_slots, dtype=np.uint32)
-        meta_slots[self.table.slot_of_key] = meta
+            meta[pos[inf]] |= np.uint64(1 << (2 * s + 1))
+        meta_lo = (meta & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        meta_hi = (meta >> np.uint64(32)).astype(np.uint32)
+        slots_lo = np.zeros(self.table.num_slots, dtype=np.uint32)
+        slots_hi = np.zeros(self.table.num_slots, dtype=np.uint32)
+        slots_lo[self.table.slot_of_key] = meta_lo
+        slots_hi[self.table.slot_of_key] = meta_hi
         self._union_codes = union  # native classifier inputs (CPU fast path)
-        self._union_meta = meta
+        self._union_meta_lo = meta_lo
+        self._union_meta_hi = meta_hi
 
         import jax
         import jax.numpy as jnp
 
-        self._rows_dev = jnp.asarray(self.table.with_meta(meta_slots))
+        self._rows_dev = jnp.asarray(self.table.with_meta2(slots_lo, slots_hi))
         self._classify = jax.jit(
             partial(
                 _classify_multi,
@@ -193,10 +201,16 @@ class MultiStrainDetector:
                 try:
                     from strainer2_tpu.native import NativeClassifier
 
+                    n_strains = len(self.states)
                     self._native_cls = NativeClassifier(
                         self._union_codes,
-                        self._union_meta.view(np.int32),
+                        self._union_meta_lo.view(np.int32),
                         self.cfg.k,
+                        values_hi=(
+                            self._union_meta_hi.view(np.int32)
+                            if n_strains > 16
+                            else None
+                        ),
                     )
                 except (RuntimeError, MemoryError):
                     self._native_cls = None
@@ -455,20 +469,35 @@ class MultiStrainDetector:
                 out.write(prefix + s + "\n")
 
 
+def _expand_strain_bits(m, n, jnp):
+    """(Q,) packed 2-bit-per-strain word -> (Q, n) present / informative."""
+    shifts = jnp.arange(n, dtype=jnp.uint32) * 2
+    present = ((m[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)
+    informative = ((m[:, None] >> (shifts[None, :] + 1)) & 1).astype(jnp.int32)
+    return present, informative
+
+
 def _classify_multi(rows, bases, boundaries, *, k, h_bits, salt, max_reads, n_strains):
     import jax.numpy as jnp
 
-    from strainer2_tpu.ops.lookup import bucket_lookup
+    from strainer2_tpu.ops.lookup import bucket_lookup, bucket_lookup_wide
     from strainer2_tpu.ops.packing import canonical_windows
 
     win = canonical_windows(jnp.asarray(bases), k)
-    found, _, meta = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
-    hit = (found & win.valid).reshape(-1)
-    m = jnp.where(hit, meta.reshape(-1), 0)  # (Q,) packed strain bits
-
-    shifts = jnp.arange(n_strains, dtype=jnp.uint32) * 2
-    present = ((m[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)  # (Q, S)
-    informative = ((m[:, None] >> (shifts[None, :] + 1)) & 1).astype(jnp.int32)
+    if n_strains > 16:
+        found, _, mlo, mhi = bucket_lookup_wide(rows, h_bits, salt, win.hi, win.lo)
+        hit = (found & win.valid).reshape(-1)
+        p_lo, i_lo = _expand_strain_bits(jnp.where(hit, mlo.reshape(-1), 0), 16, jnp)
+        p_hi, i_hi = _expand_strain_bits(
+            jnp.where(hit, mhi.reshape(-1), 0), n_strains - 16, jnp
+        )
+        present = jnp.concatenate([p_lo, p_hi], axis=1)
+        informative = jnp.concatenate([i_lo, i_hi], axis=1)
+    else:
+        found, _, meta = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
+        hit = (found & win.valid).reshape(-1)
+        m = jnp.where(hit, meta.reshape(-1), 0)  # (Q,) packed strain bits
+        present, informative = _expand_strain_bits(m, n_strains, jnp)
 
     zero = jnp.zeros((1, n_strains), dtype=jnp.int32)
     cum_tot = jnp.concatenate([zero, jnp.cumsum(present, axis=0)])

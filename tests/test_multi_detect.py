@@ -103,3 +103,79 @@ def test_multi_strain_background_filter_matches_single_runs(tmp_path):
     for i, p in enumerate(outs):
         with gzip.open(p, "rb") as f:
             assert f.read() == singles[i], f"strain {i}"
+
+
+def _twenty_strains(tmp_path):
+    """20 strains (> 16: exercises the wide two-meta-block layout) over the
+    three mini genomes with varied informative subsets."""
+    genomes = ["data/strainA.fna.gz", "data/panel1.fna.gz", "data/panel2.fna"]
+    strains = []
+    for i in range(20):
+        g = genomes[i % len(genomes)]
+        strains.append((g, _informative_subset(tmp_path, g, every=3 + i)))
+    return strains
+
+
+def test_multi_strain_wide_pass_matches_single_runs(tmp_path):
+    """A 20-strain single pass (strains 16..19 ride the second meta block,
+    bucket_lookup_wide) is byte-identical to 20 per-strain runs — on the
+    default (native) path and the jit engine path."""
+    from strainer2_tpu.pipeline.detect import run_detect
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    strains = _twenty_strains(tmp_path)
+    singles = []
+    for i, (r, a) in enumerate(strains):
+        p = str(tmp_path / f"single_{i}.gz")
+        run_detect(r, a, p, batch_list="data/targets.txt")
+        with gzip.open(p, "rb") as f:
+            singles.append(f.read())
+
+    det = MultiStrainDetector(strains)
+    outs = [str(tmp_path / f"multi_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+    for i, p in enumerate(outs):
+        with gzip.open(p, "rb") as f:
+            assert f.read() == singles[i], f"strain {i} differs (native path)"
+
+
+def test_multi_strain_wide_jit_path_matches_native(tmp_path, monkeypatch):
+    """Same 20-strain pass with the native classifier disabled: the jit
+    wide-lookup path produces identical bytes."""
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    strains = _twenty_strains(tmp_path)
+    det = MultiStrainDetector(strains)
+    outs = [str(tmp_path / f"nat_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+
+    monkeypatch.setenv("STRAINER2_NATIVE_COUNT", "0")
+    det_j = MultiStrainDetector(strains)
+    outs_j = [str(tmp_path / f"jit_{i}.gz") for i in range(len(strains))]
+    det_j.quantify_all(outs_j, "data/targets.txt")
+    for i, (p, q) in enumerate(zip(outs, outs_j)):
+        with gzip.open(p, "rb") as f, gzip.open(q, "rb") as g:
+            assert f.read() == g.read(), f"strain {i} differs (jit vs native)"
+
+
+def test_multi_strain_wide_sharded_mesh_matches_unsharded(tmp_path):
+    """18-strain sharded (EP over the mesh) pass == single-device pass."""
+    from strainer2_tpu.pipeline.detect import DetectConfig
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    strains = _twenty_strains(tmp_path)[:18]
+    det = MultiStrainDetector(strains)
+    outs = [str(tmp_path / f"plain_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+    base = []
+    for p in outs:
+        with gzip.open(p, "rb") as f:
+            base.append(f.read())
+
+    det_m = MultiStrainDetector(strains, cfg=DetectConfig(mesh=(2, 4)))
+    assert det_m._sharded is not None
+    outs_m = [str(tmp_path / f"mesh_{i}.gz") for i in range(len(strains))]
+    det_m.quantify_all(outs_m, "data/targets.txt")
+    for i, p in enumerate(outs_m):
+        with gzip.open(p, "rb") as f:
+            assert f.read() == base[i], f"strain {i} differs (mesh)"
