@@ -134,6 +134,48 @@ def _aggregate_classify_chunk(lens, tot, inf, paired: bool, k: int):
     return kmers_evaluated, reads_evaluated, pe1, tot, inf, zero, zero
 
 
+def _detect_threads(n_samples: int) -> int:
+    """Worker count for sample-parallel detection (STRAINER2_DETECT_THREADS
+    overrides; default caps at 8).  Each in-flight sample buffers its
+    uncompressed output — set to 1 for strictly-streaming memory use."""
+    import os
+
+    env = os.environ.get("STRAINER2_DETECT_THREADS")
+    if env is not None:
+        return max(1, min(int(env), n_samples))
+    return max(1, min(os.cpu_count() or 1, 8, n_samples))
+
+
+class _ThreadStderrTee:
+    """sys.stderr proxy routing each worker thread's writes to a private
+    buffer (captured per sample) while other threads pass through."""
+
+    def __init__(self, real):
+        import threading
+
+        self.real = real
+        self._local = threading.local()
+
+    def capture(self):
+        import io
+
+        buf = io.StringIO()
+        self._local.buf = buf
+        return buf
+
+    def uncapture(self):
+        self._local.buf = None
+
+    def write(self, s):
+        buf = getattr(self._local, "buf", None)
+        return (buf if buf is not None else self.real).write(s)
+
+    def flush(self):
+        buf = getattr(self._local, "buf", None)
+        if buf is None:
+            self.real.flush()
+
+
 def _load_or_build_index(r_file, engine, cfg, index_cache):
     """Build the strain index, or reuse a cached one (StrainIndex.save)."""
     import os
@@ -342,6 +384,7 @@ class StrainDetector:
         self._finalize_meta()
         with gzip.open(out_path, "wt", compresslevel=9) as out:
             if batch_list is not None:
+                samples = []
                 with open(batch_list) as f:
                     for raw in f:
                         line = raw.rstrip("\n")
@@ -364,9 +407,74 @@ class StrainDetector:
                             )
                             continue
                         f2 = fields[2] if ftype == IS_PAIRED_END else None
-                        self._quantify_sample(fields[1], f2, ftype, out)
+                        samples.append((fields[1], f2, ftype))
+                nc = self._native_classifier()
+                threads = _detect_threads(len(samples))
+                if nc is not None and len(samples) > 1 and threads > 1:
+                    self._quantify_samples_parallel(nc, samples, out, threads)
+                else:
+                    for f1, f2, ftype in samples:
+                        self._quantify_sample(f1, f2, ftype, out)
             else:
                 self._quantify_sample(b_file, b_file2, file_type, out)
+
+    def _quantify_samples_parallel(self, nc, samples, out, threads: int) -> None:
+        """Score batch-list samples concurrently (native classifier path).
+
+        Each worker runs one sample's full native pass into a private
+        text buffer (the classify table is shared read-only — the
+        concurrency shape TSan-verified by tools/tsan_stress.sh); the main
+        thread writes buffers into the gzip stream IN LIST ORDER, so the
+        output is byte-identical to the sequential loop.  Per-thread
+        stderr capture preserves error-run semantics exactly: a failing
+        sample's diagnostics print after every earlier sample's output,
+        later samples' output and diagnostics are discarded, and the run
+        exits 1 — just like the sequential stop-at-first-failure.
+        """
+        import concurrent.futures
+        import io
+        import threading
+        from collections import deque
+
+        tee = _ThreadStderrTee(sys.stderr)
+
+        def work(f1, f2, ftype):
+            buf = io.StringIO()
+            ebuf = tee.capture()
+            outcome = None
+            try:
+                self._quantify_sample_native(nc, f1, f2, ftype, buf)
+            except SystemExit as e:
+                outcome = e.code if e.code is not None else 0
+            except BaseException as e:  # re-raised in list order below
+                outcome = e
+            finally:
+                tee.uncapture()
+            return buf.getvalue(), ebuf.getvalue(), outcome
+
+        old_stderr = sys.stderr
+        sys.stderr = tee
+        try:
+            with concurrent.futures.ThreadPoolExecutor(threads) as ex:
+                futs: deque = deque()
+                idx = 0
+                try:
+                    for _ in range(len(samples)):
+                        while idx < len(samples) and len(futs) < threads + 2:
+                            futs.append(ex.submit(work, *samples[idx]))
+                            idx += 1
+                        payload, errtxt, outcome = futs.popleft().result()
+                        out.write(payload)
+                        if errtxt:
+                            old_stderr.write(errtxt)
+                        if outcome is not None:
+                            if isinstance(outcome, BaseException):
+                                raise outcome
+                            raise SystemExit(outcome)
+                finally:
+                    ex.shutdown(wait=True, cancel_futures=True)
+        finally:
+            sys.stderr = old_stderr
 
     # ---- per-sample hot loop ----
     def _read_stream(self, f1: str, f2: str | None, ftype: int) -> Iterator[bytes]:

@@ -335,3 +335,47 @@ def test_genome_compare_small_k_parity(args, golden, native, monkeypatch):
     out = _Out()
     run_genome_compare("data/strainA.fna.gz", cfg=cfg, out=out, **args)
     assert out.bytes() == expected(golden)
+
+
+def test_detect_batch_parallel_threads_parity(tmp_path, monkeypatch):
+    """Sample-parallel detection (ordered buffered writes) is byte-identical
+    to the sequential loop on the batch-list golden."""
+    monkeypatch.setenv("STRAINER2_DETECT_THREADS", "4")
+    _detect(tmp_path, "kmer_hits.txt", "detect_stdout.txt", batch_list="data/targets.txt")
+
+
+def test_detect_batch_parallel_error_matches_sequential(tmp_path, monkeypatch, capsys):
+    """An unreadable sample mid-batch: parallel mode writes every EARLIER
+    sample's output, prints exactly the sequential run's diagnostics, exits
+    1, and discards later samples — stop-at-first-failure semantics."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    from strainer2_tpu.pipeline.detect import run_detect
+
+    batch = tmp_path / "targets_bad.txt"
+    with open("data/targets.txt") as f:
+        lines = [ln for ln in f if ln.strip() and not ln.startswith("#")]
+    lines.insert(1, "SE\t%s\n" % (tmp_path / "missing.fa.gz"))
+    batch.write_text("".join(lines))
+
+    results = {}
+    for tag, threads in [("seq", "1"), ("par", "4")]:
+        monkeypatch.setenv("STRAINER2_DETECT_THREADS", threads)
+        hits = str(tmp_path / f"hits_{tag}.gz")
+        out = _Out()
+        with _pytest.raises(SystemExit) as exc:
+            run_detect(
+                "data/strainA.fna.gz", "expected/scrubbed_m05.txt", hits,
+                stdout=out, batch_list=str(batch),
+            )
+        code = exc.value.code if exc.value.code is not None else 0
+        with _gzip.open(hits, "rb") as f:
+            payload = f.read()
+        results[tag] = (code, payload, capsys.readouterr().err)
+    assert results["seq"][0] == results["par"][0] == 1
+    assert results["seq"][1] == results["par"][1]
+    assert results["seq"][1]  # first sample's output IS present
+    assert "could not read file" in results["par"][2]
+    assert results["seq"][2] == results["par"][2]
