@@ -15,7 +15,10 @@ only the host plane:
    reader/packer while the consumer thread handles batches
    (utils/prefetch.py wrapping NativePackStream),
 4. concurrent independent native panel counts from two threads (the
-   multi-strain pipelines' shared-scan shape).
+   multi-strain pipelines' shared-scan shape),
+5. concurrent per-sample classify streams + read extractors over one
+   shared classify table (sample-parallel detection,
+   pipeline/detect.py::_quantify_samples_parallel).
 """
 
 import os
@@ -134,6 +137,39 @@ def stress_concurrent_counts(rng, tmp) -> None:
     print("concurrent panel counts: ok")
 
 
+def stress_concurrent_classify(rng, tmp) -> None:
+    from strainer2_tpu.native import NativeClassifier, NativeReadExtractor
+
+    path = os.path.join(tmp, "sample.fa")
+    make_fasta(path, rng, 3000, 200)
+    scan = scan_file_codes_native(path, K)
+    codes = np.unique(scan)
+    kmer_type = np.where(np.arange(codes.size) % 7 == 0, 2, 1).astype(np.int32)
+    nc = NativeClassifier(codes, kmer_type, K)
+    results = []
+
+    def sample_pass():
+        tot_sum = inf_sum = reads = 0
+        ex = NativeReadExtractor(path)
+        stream = nc.open_stream(path, None, 0)
+        for lens, tot, inf in stream:
+            tot_sum += int(tot.sum())
+            inf_sum += int(inf.sum())
+            reads += lens.size
+        ex.read(0, 200)
+        ex.close()
+        stream.close()
+        results.append((reads, tot_sum, inf_sum))
+
+    ts = [threading.Thread(target=sample_pass) for _ in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(results) == 3 and len(set(results)) == 1 and results[0][0] == 3000
+    print("concurrent classify streams: ok")
+
+
 def main() -> None:
     assert available(), "native library unavailable (check STRAINER2_NATIVE_LIB)"
     rng = np.random.default_rng(13)
@@ -142,6 +178,7 @@ def main() -> None:
         stress_writer_overlap(rng, tmp)
         stress_prefetch_stream(rng, tmp)
         stress_concurrent_counts(rng, tmp)
+        stress_concurrent_classify(rng, tmp)
     print("ALL STRESSES PASSED")
 
 
