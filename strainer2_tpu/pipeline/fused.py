@@ -161,11 +161,30 @@ def run_pipeline(
     )
 
     order = reference_row_order(index.codes, index.k)
+    # The counts artifact is observability output — no later fused stage
+    # reads it (filter runs on the in-memory columns) — so its gzip write
+    # overlaps the filter/detect/coverage stages on a background thread
+    # (all inputs are read-only from here; joined before returning).
+    counts_writer = None
+    counts_write_err: list[BaseException] = []
     if fcfg.write_counts:
-        with stage("fused.write_counts"):
-            with gzip.open(paths["counts"], "wt", compresslevel=fcfg.gzip_level) as f:
-                write_scrub_table(f, index, col_pan, col_meta, col_drug,
-                                  order=order)
+        import threading
+
+        def _write_counts_bg():
+            try:
+                with stage("fused.write_counts"):
+                    with gzip.open(
+                        paths["counts"], "wt", compresslevel=fcfg.gzip_level
+                    ) as f:
+                        write_scrub_table(f, index, col_pan, col_meta, col_drug,
+                                          order=order)
+            except BaseException as e:  # surfaced at join
+                counts_write_err.append(e)
+
+        counts_writer = threading.Thread(
+            target=_write_counts_bg, name="fused-counts-writer"
+        )
+        counts_writer.start()
     else:
         paths["counts"] = None
 
@@ -193,6 +212,10 @@ def run_pipeline(
             paths["hits"], min_kmer_hits=fcfg.min_kmer_hits,
             background_metagenomes_file=coverage_background_list, out=f,
         )
+    if counts_writer is not None:
+        counts_writer.join()
+        if counts_write_err:
+            raise counts_write_err[0]
     return paths
 
 
@@ -252,8 +275,12 @@ def run_multi_pipeline(
             r_files, a_list, b_list, c_list, cfg, progress
         )
 
+    import threading
+
     all_paths = []
     prebuilt = []
+    counts_writers: list = []
+    counts_write_err: list[BaseException] = []
     for r_file, index, (col_pan, col_meta, col_drug) in zip(
         r_files, strain_indexes, columns
     ):
@@ -265,8 +292,25 @@ def run_multi_pipeline(
         }
         order = reference_row_order(index.codes, index.k)
         if fcfg.write_counts:
-            with gzip.open(paths["counts"], "wt", compresslevel=fcfg.gzip_level) as f:
-                write_scrub_table(f, index, col_pan, col_meta, col_drug, order=order)
+            # observability artifact: overlap with the remaining stages
+            # (same pattern as run_pipeline; joined before returning)
+            def _write_counts_bg(path=paths["counts"], index=index,
+                                 col_pan=col_pan, col_meta=col_meta,
+                                 col_drug=col_drug, order=order):
+                try:
+                    with stage("fused.write_counts"):
+                        with gzip.open(
+                            path, "wt", compresslevel=fcfg.gzip_level
+                        ) as f:
+                            write_scrub_table(
+                                f, index, col_pan, col_meta, col_drug, order=order
+                            )
+                except BaseException as e:  # surfaced at join
+                    counts_write_err.append(e)
+
+            w = threading.Thread(target=_write_counts_bg, name="fused-counts-writer")
+            w.start()
+            counts_writers.append(w)
         else:
             paths["counts"] = None
         if not fcfg.write_scrubbed:
@@ -297,4 +341,8 @@ def run_multi_pipeline(
                     paths["hits"], min_kmer_hits=fcfg.min_kmer_hits,
                     background_metagenomes_file=coverage_background_list, out=f,
                 )
+    for w in counts_writers:
+        w.join()
+    if counts_write_err:
+        raise counts_write_err[0]
     return all_paths
