@@ -62,9 +62,22 @@ def multi_scrub_counts(
     union = StrainIndex.from_unique_codes(union_codes, k=cfg.k)
 
     def count_list(paths: list[str]):
-        counts = jnp.zeros(union.table.num_slots, dtype=jnp.uint32)
+        from strainer2_tpu.pipeline.scrub_count import (
+            _count_files_parallel,
+            _count_threads,
+            _use_native_counting,
+        )
+
         for path in paths:
             _progress_line(progress, path)
+        nc = union.native_counter() if _use_native_counting(engine) else None
+        n_threads = _count_threads(len(paths)) if nc is not None else 1
+        if len(paths) > 1 and n_threads > 1:
+            counts_np = np.zeros(union.table.num_slots, dtype=np.uint32)
+            counts_np = _count_files_parallel(nc, counts_np, paths, n_threads)
+            return union.key_values(counts_np).astype(np.uint32)
+        counts = jnp.zeros(union.table.num_slots, dtype=jnp.uint32)
+        for path in paths:
             counts = count_panel_file(engine, union, counts, path, cfg.rows, cfg.row_len)
         return union.key_values(np.asarray(counts)).astype(np.uint32)
 
