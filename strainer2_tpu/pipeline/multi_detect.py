@@ -331,6 +331,7 @@ class MultiStrainDetector:
         kmer_hits gz file per strain."""
         outs = [gzip.open(p, "wt", compresslevel=9) for p in out_paths]
         try:
+            samples = []
             with open(batch_list) as f:
                 for raw in f:
                     fields = [t for t in raw.rstrip("\n").split("\t") if t != ""]
@@ -348,10 +349,74 @@ class MultiStrainDetector:
                         )
                         continue
                     f2 = fields[2] if ftype == IS_PAIRED_END else None
-                    self._quantify_sample(fields[1], f2, ftype, outs)
+                    samples.append((fields[1], f2, ftype))
+            nc = self._native_multi_classifier()
+            from strainer2_tpu.pipeline.detect import _detect_threads
+
+            threads = _detect_threads(len(samples))
+            if nc is not None and len(samples) > 1 and threads > 1:
+                self._quantify_samples_parallel(nc, samples, outs, threads)
+            else:
+                for f1, f2, ftype in samples:
+                    self._quantify_sample(f1, f2, ftype, outs)
         finally:
             for o in outs:
                 o.close()
+
+    def _quantify_samples_parallel(self, nc, samples, outs, threads: int) -> None:
+        """Sample-parallel twin of detect._quantify_samples_parallel for the
+        multi-strain pass: each worker fills S private per-strain buffers;
+        the main thread writes them into the S gzip streams IN LIST ORDER
+        (byte-identical to the sequential loop, incl. error-run semantics:
+        stop at the first failing sample, earlier output flushed, exact
+        stderr, exit 1)."""
+        import concurrent.futures
+        import io
+        from collections import deque
+
+        from strainer2_tpu.pipeline.detect import _ThreadStderrTee
+
+        n_strains = len(self.states)
+        tee = _ThreadStderrTee(sys.stderr)
+
+        def work(f1, f2, ftype):
+            bufs = [io.StringIO() for _ in range(n_strains)]
+            ebuf = tee.capture()
+            outcome = None
+            try:
+                self._quantify_sample_native(nc, f1, f2, ftype, bufs)
+            except SystemExit as e:
+                outcome = e.code if e.code is not None else 0
+            except BaseException as e:  # re-raised in list order below
+                outcome = e
+            finally:
+                tee.uncapture()
+            return [b.getvalue() for b in bufs], ebuf.getvalue(), outcome
+
+        old_stderr = sys.stderr
+        sys.stderr = tee
+        try:
+            with concurrent.futures.ThreadPoolExecutor(threads) as ex:
+                futs: deque = deque()
+                idx = 0
+                try:
+                    for _ in range(len(samples)):
+                        while idx < len(samples) and len(futs) < threads + 2:
+                            futs.append(ex.submit(work, *samples[idx]))
+                            idx += 1
+                        payloads, errtxt, outcome = futs.popleft().result()
+                        for o, payload in zip(outs, payloads):
+                            o.write(payload)
+                        if errtxt:
+                            old_stderr.write(errtxt)
+                        if outcome is not None:
+                            if isinstance(outcome, BaseException):
+                                raise outcome
+                            raise SystemExit(outcome)
+                finally:
+                    ex.shutdown(wait=True, cancel_futures=True)
+        finally:
+            sys.stderr = old_stderr
 
     def _quantify_sample(self, f1: str, f2: str | None, ftype: int, outs: list[IO]) -> None:
         cfg = self.cfg

@@ -179,3 +179,30 @@ def test_multi_strain_wide_sharded_mesh_matches_unsharded(tmp_path):
     for i, p in enumerate(outs_m):
         with gzip.open(p, "rb") as f:
             assert f.read() == base[i], f"strain {i} differs (mesh)"
+
+
+def test_multi_strain_parallel_samples_match_sequential(tmp_path, monkeypatch):
+    """Sample-parallel multi-strain scoring (ordered per-strain buffers) is
+    byte-identical to the sequential sample loop."""
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    strains = [
+        ("data/strainA.fna.gz", "expected/scrubbed_m05.txt"),
+        ("data/panel1.fna.gz", _informative_subset(tmp_path, "data/panel1.fna.gz")),
+    ]
+    base = []
+    monkeypatch.setenv("STRAINER2_DETECT_THREADS", "1")
+    det = MultiStrainDetector(strains)
+    outs = [str(tmp_path / f"seq_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+    for p in outs:
+        with gzip.open(p, "rb") as f:
+            base.append(f.read())
+
+    monkeypatch.setenv("STRAINER2_DETECT_THREADS", "4")
+    det_p = MultiStrainDetector(strains)
+    outs_p = [str(tmp_path / f"par_{i}.gz") for i in range(len(strains))]
+    det_p.quantify_all(outs_p, "data/targets.txt")
+    for i, p in enumerate(outs_p):
+        with gzip.open(p, "rb") as f:
+            assert f.read() == base[i], f"strain {i} differs"
