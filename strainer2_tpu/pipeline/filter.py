@@ -81,6 +81,51 @@ class KeyRows:
         return b"".join(self[int(i)] + b"\n" for i in idx)
 
 
+class CodeKeyRows(KeyRows):
+    """KeyRows over packed 2-bit codes: rows decode to ACGT strings only on
+    access.  The filter math never reads key strings, so with this view
+    only the kept ~1% of rows is ever rendered — decoding all 6.7M rows
+    upfront was the dominant cost of the fused filter stage."""
+
+    __slots__ = ("codes", "k")
+
+    def __init__(self, codes: np.ndarray, k: int):
+        self.codes = np.asarray(codes, dtype=np.uint64)
+        self.k = k
+
+    def __len__(self) -> int:
+        return self.codes.shape[0]
+
+    def _matrix(self, idx) -> np.ndarray:
+        from strainer2_tpu.ops.packing_np import decode_codes_matrix_np
+
+        return decode_codes_matrix_np(self.codes[idx], self.k)
+
+    def __getitem__(self, i: int) -> bytes:
+        return self._matrix(slice(int(i), int(i) + 1)).tobytes()
+
+    def __iter__(self):
+        chunk = 1 << 18
+        for start in range(0, len(self), chunk):
+            for row in self._matrix(slice(start, start + chunk)):
+                yield row.tobytes()
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, CodeKeyRows):
+            return self.k == other.k and np.array_equal(self.codes, other.codes)
+        return list(self) == list(other)
+
+    def take(self, idx: np.ndarray) -> list[bytes]:
+        return [bytes(r) for r in self._matrix(np.asarray(idx, dtype=np.int64))]
+
+    def join_lines(self, idx: np.ndarray) -> bytes:
+        mat = self._matrix(np.asarray(idx, dtype=np.int64))
+        out = np.empty((mat.shape[0], self.k + 1), dtype=np.uint8)
+        out[:, : self.k] = mat
+        out[:, self.k] = ord("\n")
+        return out.tobytes()
+
+
 @dataclass
 class ScrubTable:
     """Parsed scrub-count input in row order."""

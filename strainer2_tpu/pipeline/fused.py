@@ -37,7 +37,6 @@ from dataclasses import dataclass
 import numpy as np
 
 from strainer2_tpu.index.refhash_order import reference_row_order
-from strainer2_tpu.ops.packing_np import decode_codes_matrix_np
 
 __all__ = ["FusedConfig", "run_pipeline", "run_multi_pipeline"]
 
@@ -76,13 +75,9 @@ def _filter_in_memory(index, order, col_pan, col_meta, col_drug,
     """Filter one strain's in-memory count table (reference row order);
     returns the informative key indices (first-encounter order).  Writes
     the scrubbed-k-mer artifact when scrubbed_path is given."""
-    from strainer2_tpu.pipeline.filter import KeyRows, ScrubTable, run_filter
+    from strainer2_tpu.pipeline.filter import CodeKeyRows, ScrubTable, run_filter
 
-    key_mat = decode_codes_matrix_np(index.codes[order], index.k)
-    keys = KeyRows(
-        np.ascontiguousarray(key_mat).reshape(-1),
-        np.arange(key_mat.shape[0] + 1, dtype=np.int64) * index.k,
-    )
+    keys = CodeKeyRows(index.codes[order], index.k)
     table = ScrubTable(
         keys=keys,
         strain=index.genome_counts[order].astype(np.int64),
