@@ -227,5 +227,46 @@ def run_genome_compare(
     if b_file:
         comparer.score_query(b_file, out)
     elif b_list:
-        for path in read_list_file(b_list):
+        paths = read_list_file(b_list)
+        if comparer._host is not None and len(paths) > 1:
+            # native string engine: score queries concurrently (the key set
+            # is read-only; results are scalar tallies written in list
+            # order — byte-identical to the sequential loop)
+            import concurrent.futures
+            import os
+
+            threads = max(
+                1,
+                min(
+                    int(os.environ.get("STRAINER2_COMPARE_THREADS", "0"))
+                    or (os.cpu_count() or 1),
+                    8,
+                    len(paths),
+                ),
+            )
+            if threads > 1:
+                cfg_ = comparer.cfg
+
+                def score(path):
+                    try:
+                        return comparer._host.score(
+                            path, cfg_.max_seeds, cfg_.threshold_for_fullmap
+                        )
+                    except OSError as e:
+                        return e
+
+                with concurrent.futures.ThreadPoolExecutor(threads) as ex:
+                    results = list(ex.map(score, paths))
+                for path, res in zip(paths, results):
+                    if isinstance(res, OSError):
+                        # surface the sequential loop's exact error
+                        next(iter(read_fastx(path)), None)
+                        raise res
+                    hits, misses = res
+                    out.write(
+                        f"{a_file}\t{path}\t{hits}\t{misses}\t"
+                        f"{_c_fraction(hits, misses)}\n"
+                    )
+                return
+        for path in paths:
             comparer.score_query(path, out)
