@@ -21,13 +21,22 @@ __all__ = ["KmerEngine", "default_layout"]
 
 
 def _maybe_enable_compile_cache() -> None:
-    """Opt-in persistent XLA compilation cache (STRAINER2_COMPILE_CACHE=dir):
-    repeated CLI invocations then skip the ~seconds of first-compile per
-    program shape."""
+    """Persistent XLA compilation cache: repeated CLI invocations skip the
+    seconds-to-minutes of first-compile per program shape (the dominant
+    cold-start cost on TPU).  Defaults to ~/.cache/strainer2_tpu/xla;
+    STRAINER2_COMPILE_CACHE overrides the directory, =0/empty disables."""
     import os
 
     cache = os.environ.get("STRAINER2_COMPILE_CACHE")
-    if cache:
+    if cache is None:
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "strainer2_tpu", "xla"
+        )
+        try:
+            os.makedirs(cache, exist_ok=True)
+        except OSError:
+            cache = ""
+    if cache and cache != "0":
         import jax
 
         try:
