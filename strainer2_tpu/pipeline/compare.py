@@ -224,10 +224,33 @@ def run_genome_compare(
     if print_header:
         out.write("a_file\tb_file\thits\tmisses\tfrac\n")
     comparer = GenomeComparer(a_file, cfg)
+
+    def _exit_unreadable_query(path):
+        # reference src/genome_compare.c:289; the reference's handling of an
+        # unreadable -a file is a HANG (GEN_read_seq_file has no error
+        # check, src/genome_compare.c:460-461) — we fail cleanly instead
+        # (documented divergence, docs/PARITY.md)
+        print(
+            f"could not read file {path} in GEN_calculate_coverage()",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+
     if b_file:
-        comparer.score_query(b_file, out)
+        try:
+            comparer.score_query(b_file, out)
+        except OSError:
+            _exit_unreadable_query(b_file)
     elif b_list:
-        paths = read_list_file(b_list)
+        try:
+            paths = read_list_file(b_list)
+        except OSError:
+            # reference src/genome_compare.c:251
+            print(
+                f"could not read file {b_list} in GEN_all_coverage()",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
         if comparer._host is not None and len(paths) > 1:
             # native string engine: score queries concurrently (the key set
             # is read-only; results are scalar tallies written in list
@@ -259,9 +282,7 @@ def run_genome_compare(
                     results = list(ex.map(score, paths))
                 for path, res in zip(paths, results):
                     if isinstance(res, OSError):
-                        # surface the sequential loop's exact error
-                        next(iter(read_fastx(path)), None)
-                        raise res
+                        _exit_unreadable_query(path)
                     hits, misses = res
                     out.write(
                         f"{a_file}\t{path}\t{hits}\t{misses}\t"
@@ -269,4 +290,7 @@ def run_genome_compare(
                     )
                 return
         for path in paths:
-            comparer.score_query(path, out)
+            try:
+                comparer.score_query(path, out)
+            except OSError:
+                _exit_unreadable_query(path)

@@ -138,6 +138,13 @@ def count_panel_file(
     return counts
 
 
+def _exit_could_not_read(msg: str) -> None:
+    """Reference-exact unreadable-file diagnostic + exit 1 (the reference
+    exits from inside its library functions; e.g. src/genome_compare.c:196)."""
+    print(msg, file=sys.stderr)
+    raise SystemExit(1)
+
+
 def _count_panel(
     engine: KmerEngine,
     index: StrainIndex,
@@ -163,8 +170,15 @@ def _count_panel(
     else:
         counts = engine.init_counts(index)
     if list_path is not None:
+        try:
+            listed = read_list_file(list_path)
+        except OSError:
+            # reference src/genome_compare.c:125,159
+            _exit_could_not_read(
+                f"could not read file {list_path} in GEN_all_kmer_counts()"
+            )
         todo: list[str] = []
-        for path in read_list_file(list_path):
+        for path in listed:
             _progress_line(progress, path)
             if skip_path is not None and path == skip_path:
                 print(f"skipping {path} (identical match)", file=sys.stderr)
@@ -182,12 +196,24 @@ def _count_panel(
             counts_np = engine.finalize_counts(counts)
             if not (counts_np.flags.c_contiguous and counts_np.flags.writeable):
                 counts_np = counts_np.copy()
-            counts = _count_files_parallel(nc, counts_np, todo, n_threads)
+            try:
+                counts = _count_files_parallel(nc, counts_np, todo, n_threads)
+            except OSError as e:
+                _exit_could_not_read(
+                    f"could not read file {getattr(e, 'filename', None) or e} "
+                    "in GEN_calculate_kmer_count()"
+                )
         else:
             for path in todo:
-                counts = count_panel_file(
-                    engine, index, counts, path, cfg.rows, cfg.row_len
-                )
+                try:
+                    counts = count_panel_file(
+                        engine, index, counts, path, cfg.rows, cfg.row_len
+                    )
+                except OSError:
+                    # reference src/genome_compare.c:196
+                    _exit_could_not_read(
+                        f"could not read file {path} in GEN_calculate_kmer_count()"
+                    )
                 if checkpoint is not None:
                     checkpoint.record(column, path, engine.finalize_counts(counts))
     return index.key_values(engine.finalize_counts(counts))
@@ -235,6 +261,8 @@ def _count_files_parallel(nc, counts_np: np.ndarray, paths: list, n_threads: int
         try:
             outcomes[i] = nc.count_file(buf, path)
         except BaseException as e:  # earliest-in-list error re-raised below
+            if isinstance(e, OSError) and not getattr(e, "filename", None):
+                e.filename = path
             outcomes[i] = e
 
     with stage("scrub.panel_lookups"):
@@ -276,7 +304,13 @@ def run_scrub_count(
 
     if index is None:
         with stage("scrub.index_build"):
-            index = StrainIndex.from_fasta(r_file, engine, cfg.rows, cfg.row_len)
+            try:
+                index = StrainIndex.from_fasta(r_file, engine, cfg.rows, cfg.row_len)
+            except OSError:
+                # reference src/genome_compare.c:986 (no "in", as printed)
+                _exit_could_not_read(
+                    f"could not read file {r_file} GEN_hash_sequences_set_count_vec()"
+                )
 
     if cfg.mesh is not None:
         from strainer2_tpu.parallel.sharding import ShardedPanelEngine

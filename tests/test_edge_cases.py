@@ -93,3 +93,95 @@ def test_empty_panel_file_counts_nothing(tmp_path):
     counts = jnp.zeros(index.table.num_slots, dtype=jnp.uint32)
     counts = count_panel_file(engine, index, counts, str(empty), 8, 512)
     assert int(np.asarray(counts).sum()) == 0
+
+
+def test_scrub_unreadable_errors_match_reference(tmp_path, capsys):
+    """Unreadable -r / list / panel files exit 1 with the reference's exact
+    stderr lines (reference src/genome_compare.c:986,125,196)."""
+    import pytest
+
+    from strainer2_tpu.pipeline.scrub_count import run_scrub_count
+
+    genome = str(tmp_path / "g.fa")
+    with open(genome, "w") as f:
+        f.write(">g\n" + "ACGT" * 50 + "\n")
+    good_list = str(tmp_path / "good.txt")
+    with open(good_list, "w") as f:
+        f.write(genome + "\n")
+    bad_list = str(tmp_path / "bad.txt")
+    with open(bad_list, "w") as f:
+        f.write("/nonexistent_panel.fa.gz\n")
+
+    import io
+
+    with pytest.raises(SystemExit) as e:
+        run_scrub_count("/nonexistent.fna.gz", good_list, good_list, out=io.StringIO())
+    assert e.value.code == 1
+    assert capsys.readouterr().err.endswith(
+        "could not read file /nonexistent.fna.gz GEN_hash_sequences_set_count_vec()\n"
+    )
+
+    with pytest.raises(SystemExit) as e:
+        run_scrub_count(genome, "/nonexistent_list.txt", good_list, out=io.StringIO())
+    assert e.value.code == 1
+    assert capsys.readouterr().err.endswith(
+        "could not read file /nonexistent_list.txt in GEN_all_kmer_counts()\n"
+    )
+
+    for threads in ("1", "4"):
+        import os
+
+        os.environ["STRAINER2_COUNT_THREADS"] = threads
+        try:
+            # two panel entries so threads=4 engages the parallel pool
+            with open(bad_list, "w") as f:
+                f.write("/nonexistent_panel.fa.gz\n" + genome + "\n")
+            with pytest.raises(SystemExit) as e:
+                run_scrub_count(genome, bad_list, good_list, out=io.StringIO())
+            assert e.value.code == 1
+            assert capsys.readouterr().err.endswith(
+                "could not read file /nonexistent_panel.fa.gz "
+                "in GEN_calculate_kmer_count()\n"
+            ), threads
+        finally:
+            del os.environ["STRAINER2_COUNT_THREADS"]
+
+
+def test_genome_compare_unreadable_errors_match_reference(tmp_path, capsys):
+    """Unreadable query / list files exit 1 with the reference's exact
+    stderr lines (src/genome_compare.c:289,251).  An unreadable -a HANGS
+    the reference (no error check in GEN_read_seq_file) — we error cleanly."""
+    import io
+
+    import pytest
+
+    from strainer2_tpu.pipeline.compare import run_genome_compare
+
+    genome = str(tmp_path / "a.fa")
+    with open(genome, "w") as f:
+        f.write(">a\n" + "ACGTTGCA" * 40 + "\n")
+
+    with pytest.raises(SystemExit) as e:
+        run_genome_compare(genome, b_file="/nonexistent_q.fa", out=io.StringIO())
+    assert e.value.code == 1
+    assert capsys.readouterr().err.endswith(
+        "could not read file /nonexistent_q.fa in GEN_calculate_coverage()\n"
+    )
+
+    with pytest.raises(SystemExit) as e:
+        run_genome_compare(genome, b_list="/nonexistent_list.txt", out=io.StringIO())
+    assert e.value.code == 1
+    assert capsys.readouterr().err.endswith(
+        "could not read file /nonexistent_list.txt in GEN_all_coverage()\n"
+    )
+
+    # list with an unreadable entry (parallel scoring path)
+    blist = str(tmp_path / "qs.txt")
+    with open(blist, "w") as f:
+        f.write(genome + "\n/nonexistent_q.fa\n")
+    with pytest.raises(SystemExit) as e:
+        run_genome_compare(genome, b_list=blist, out=io.StringIO())
+    assert e.value.code == 1
+    assert capsys.readouterr().err.endswith(
+        "could not read file /nonexistent_q.fa in GEN_calculate_coverage()\n"
+    )
