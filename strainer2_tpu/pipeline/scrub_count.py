@@ -154,10 +154,14 @@ def _count_panel(
     skip_path: str | None = None,
     column: int = 0,
     checkpoint=None,
+    partition: "tuple[int, int] | None" = None,
 ) -> np.ndarray:
     """Count all files of one panel list into a fresh column; returns
     per-key counts (first-encounter order).  With a checkpoint, completed
-    files are skipped on resume and counts persist per finished file."""
+    files are skipped on resume and counts persist per finished file.
+    partition=(process_index, process_count) restricts counting to this
+    host's deterministic size-balanced share of the list (multi-host SPMD;
+    the caller merges columns with merge_across_hosts)."""
     import jax.numpy as jnp
 
     from collections import Counter
@@ -178,8 +182,10 @@ def _count_panel(
                 f"could not read file {list_path} in GEN_all_kmer_counts()"
             )
         todo: list[str] = []
+        multihost = partition is not None and partition[1] > 1
         for path in listed:
-            _progress_line(progress, path)
+            if not multihost:
+                _progress_line(progress, path)
             if skip_path is not None and path == skip_path:
                 print(f"skipping {path} (identical match)", file=sys.stderr)
                 continue
@@ -187,6 +193,12 @@ def _count_panel(
                 done[path] -= 1  # duplicate list entries re-count)
                 continue
             todo.append(path)
+        if multihost:
+            from strainer2_tpu.parallel.distributed import host_file_partition
+
+            todo = host_file_partition(todo, *partition)
+            for path in todo:  # this host's progress covers its own share
+                _progress_line(progress, path)
         nc = None
         if checkpoint is None and len(todo) > 1 and _use_native_counting(engine):
             nc_fn = getattr(index, "native_counter", None)
@@ -323,16 +335,35 @@ def run_scrub_count(
 
         ckpt = ScrubCheckpoint(checkpoint_dir)
 
+    # multi-host SPMD: with jax.distributed initialized (e.g.
+    # JAX_COORDINATOR_ADDRESS in the environment, one process per host),
+    # every process builds the same index, counts its deterministic share
+    # of each panel list, and integer-merges columns — bit-identical to a
+    # single-process run; only process 0 writes the table.
+    from strainer2_tpu.parallel.distributed import initialize, merge_across_hosts
+
+    pidx, pcount = initialize()
+    partition = (pidx, pcount) if pcount > 1 else None
+
     col_pan = _count_panel(engine, index, a_list, cfg, progress,
-                           column=COL_PANGENOME, checkpoint=ckpt)
+                           column=COL_PANGENOME, checkpoint=ckpt,
+                           partition=partition)
     col_meta = _count_panel(engine, index, b_list, cfg, progress,
-                            column=COL_METAGENOME, checkpoint=ckpt)
+                            column=COL_METAGENOME, checkpoint=ckpt,
+                            partition=partition)
     col_drug = (
         _count_panel(engine, index, c_list, cfg, progress, skip_path=r_file,
-                     column=COL_DRUG, checkpoint=ckpt)
+                     column=COL_DRUG, checkpoint=ckpt, partition=partition)
         if c_list
         else None
     )
+    if pcount > 1:
+        col_pan = merge_across_hosts(col_pan)
+        col_meta = merge_across_hosts(col_meta)
+        if col_drug is not None:
+            col_drug = merge_across_hosts(col_drug)
+        if pidx != 0:
+            return index
 
     with stage("scrub.write_table", items=index.num_kmers):
         write_scrub_table(

@@ -17,6 +17,7 @@ def main() -> None:
     nproc = int(sys.argv[2])
     port = sys.argv[3]
     workdir = sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "merge"
 
     import jax
 
@@ -35,6 +36,24 @@ def main() -> None:
 
     idx, cnt = initialize(f"127.0.0.1:{port}", nproc, pid)
     assert (idx, cnt) == (pid, nproc), (idx, cnt)
+
+    if mode == "scrub":
+        # full run_scrub_count in SPMD mode: every process counts its
+        # partition; rank 0 writes the table
+        import io
+
+        from strainer2_tpu.pipeline.scrub_count import run_scrub_count
+
+        out = io.StringIO()
+        run_scrub_count(
+            os.path.join(workdir, "genome.fa"),
+            os.path.join(workdir, "panels.txt"),
+            os.path.join(workdir, "panels.txt"),
+            out=out,
+        )
+        with open(os.path.join(workdir, f"table_{pid}.tsv"), "w") as f:
+            f.write(out.getvalue())
+        return
 
     k = 31
     rows, row_len = 8, 512

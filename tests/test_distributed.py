@@ -113,3 +113,65 @@ def test_merge_across_hosts_two_real_processes(tmp_path):
     for i in range(2):
         merged = np.load(tmp_path / f"merged_{i}.npy")
         np.testing.assert_array_equal(merged, expected)
+
+
+def test_run_scrub_count_two_real_processes(tmp_path):
+    """The SPMD scrub pipeline over 2 real jax.distributed processes:
+    rank 0's table is byte-identical to a single-process run; rank 1
+    writes nothing."""
+    import io
+
+    from strainer2_tpu.pipeline.scrub_count import run_scrub_count
+
+    rng = np.random.default_rng(7)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = alpha[rng.integers(0, 4, size=3000)].tobytes().decode()
+    _write_fasta(tmp_path / "genome.fa", [genome])
+    panels = []
+    for j in range(4):
+        reads = []
+        for _ in range(40):
+            if rng.random() < 0.5:
+                start = int(rng.integers(0, len(genome) - 80))
+                reads.append(genome[start : start + 80])
+            else:
+                reads.append(alpha[rng.integers(0, 4, size=80)].tobytes().decode())
+        p = tmp_path / f"panel_{j}.fa"
+        _write_fasta(p, reads)
+        panels.append(str(p))
+    with open(tmp_path / "panels.txt", "w") as f:
+        f.write("\n".join(panels) + "\n")
+
+    out = io.StringIO()
+    run_scrub_count(
+        str(tmp_path / "genome.fa"), str(tmp_path / "panels.txt"),
+        str(tmp_path / "panels.txt"), out=out,
+    )
+    expected = out.getvalue()
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_dist_worker.py")
+    env = {
+        k_: v
+        for k_, v in os.environ.items()
+        if k_ not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", port, str(tmp_path), "scrub"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode(errors="replace")
+    with open(tmp_path / "table_0.tsv") as f:
+        assert f.read() == expected
+    with open(tmp_path / "table_1.tsv") as f:
+        assert f.read() == ""  # non-zero ranks write nothing
