@@ -292,13 +292,31 @@ class StrainDetector:
         (reference src/strain_detect.c:160-240; stats lines go to stdout)."""
         import jax.numpy as jnp
 
+        from strainer2_tpu.pipeline.scrub_count import (
+            _count_files_parallel,
+            _count_threads,
+            _use_native_counting,
+        )
+
         cfg = self.cfg
-        counts = jnp.zeros(self.index.table.num_slots, dtype=jnp.uint32)
-        for path in read_list_file(background_list):
-            counts = count_panel_file(
-                self.engine, self.index, counts, path, cfg.rows, cfg.row_len
-            )
-        bg_counts = self.index.key_values(np.asarray(counts)).astype(np.int64)
+        paths = read_list_file(background_list)
+        nc = (
+            self.index.native_counter()
+            if _use_native_counting(self.engine)
+            else None
+        )
+        n_threads = _count_threads(len(paths)) if nc is not None else 1
+        if len(paths) > 1 and n_threads > 1:
+            counts_np = np.zeros(self.index.table.num_slots, dtype=np.uint32)
+            counts_np = _count_files_parallel(nc, counts_np, paths, n_threads)
+        else:
+            counts = jnp.zeros(self.index.table.num_slots, dtype=jnp.uint32)
+            for path in paths:
+                counts = count_panel_file(
+                    self.engine, self.index, counts, path, cfg.rows, cfg.row_len
+                )
+            counts_np = np.asarray(counts)
+        bg_counts = self.index.key_values(counts_np).astype(np.int64)
         background_demote(
             self.kmer_type, bg_counts, self.num_informative_marked,
             cfg.fraction_background_to_remove, background_list, self.stdout,
