@@ -311,13 +311,39 @@ class MultiStrainDetector:
         from strainer2_tpu.pipeline.detect import background_demote
         from strainer2_tpu.pipeline.scrub_count import count_panel_file, read_list_file
 
+        from strainer2_tpu.pipeline.scrub_count import (
+            _count_files_parallel,
+            _count_threads,
+            _use_native_counting,
+        )
+
         cfg = self.cfg
         eng = KmerEngine(cfg.k, layout="bucket")
         union_index = _UnionIndexView(self.table, cfg.k)
-        counts = jnp.zeros(self.table.num_slots, dtype=jnp.uint32)
-        for path in read_list_file(background_list):
-            counts = count_panel_file(eng, union_index, counts, path, cfg.rows, cfg.row_len)
-        per_slot = np.asarray(counts)
+        paths = read_list_file(background_list)
+        nc = None
+        if _use_native_counting(eng):
+            try:
+                from strainer2_tpu.native import NativePanelCounter
+
+                nc = NativePanelCounter(union, self.table.slot_of_key, cfg.k)
+            except (RuntimeError, MemoryError):
+                nc = None
+        if nc is not None:
+            per_slot = np.zeros(self.table.num_slots, dtype=np.uint32)
+            n_threads = _count_threads(len(paths))
+            if len(paths) > 1 and n_threads > 1:
+                per_slot = _count_files_parallel(nc, per_slot, paths, n_threads)
+            else:
+                for path in paths:
+                    nc.count_file(per_slot, path)
+        else:
+            counts = jnp.zeros(self.table.num_slots, dtype=jnp.uint32)
+            for path in paths:
+                counts = count_panel_file(
+                    eng, union_index, counts, path, cfg.rows, cfg.row_len
+                )
+            per_slot = np.asarray(counts)
         bg_union = per_slot[self.table.slot_of_key].astype(np.int64)  # union order
         for st, codes, types in zip(self.states, per_strain_codes, per_strain_types):
             pos = np.searchsorted(union, codes)
