@@ -1532,18 +1532,23 @@ struct CompareSet {
     return true;
   }
 
-  void insert(const char* key, uint64_t h) {
+  bool failed = false;  // grow() allocation failure: abort the build
+                        // (a table at 100% load would probe forever)
+
+  bool insert(const char* key, uint64_t h) {
+    if (failed) return false;
     size_t p = h & mask;
     while (recs[p].h) {
       if (recs[p].h == h &&
           memcmp(arena.data() + recs[p].off * k, key, k) == 0)
-        return;
+        return true;
       p = (p + 1) & mask;
     }
     int64_t off = (int64_t)n;
     arena.insert(arena.end(), key, key + k);
     recs[p] = Rec{h, off};
-    if (++n * 2 >= cap) grow();
+    if (++n * 2 >= cap && !grow()) failed = true;
+    return !failed;
   }
 
   bool contains(const char* key, uint64_t h) const {
@@ -1631,15 +1636,20 @@ void* s2_compare_build(const char* a_file, int k) {
       uint64_t h = CompareSet::fnv1a(key, k);
       __builtin_prefetch(&cs->recs[h & cs->mask], 1, 1);
       int64_t slot = npend % kAhead;
-      if (npend >= kAhead) cs->insert(pend_key[slot], pend_h[slot]);
+      if (npend >= kAhead && !cs->insert(pend_key[slot], pend_h[slot])) break;
       pend_key[slot] = key;
       pend_h[slot] = h;
       ++npend;
     }
     for (int64_t j = npend >= kAhead ? npend - kAhead : 0; j < npend; ++j) {
       int64_t slot = j % kAhead;
-      cs->insert(pend_key[slot], pend_h[slot]);
+      if (!cs->insert(pend_key[slot], pend_h[slot])) break;
     }
+    if (cs->failed) break;
+  }
+  if (cs->failed) {  // out of memory mid-build: report, don't hang later
+    delete cs;
+    return nullptr;
   }
   return cs;
 }

@@ -115,6 +115,26 @@ def accumulate_counts(
     return counts.at[tgt].add(counts.dtype.type(1), mode="drop")
 
 
+def _bucket_probe(rows, h_bits: int, salt: int, qhi, qlo):
+    """Shared single-gather probe: returns (eq, found, slot, row) on the
+    flattened query axis.  One serialized random access per query; all
+    comparison/selection work is vectorized over the gathered 64-lane row."""
+    shi = qhi ^ jnp.uint32(salt) if salt else qhi
+    bucket = cuckoo_slots(shi, qlo, h_bits, 0).astype(jnp.int32)
+    row = rows[bucket]  # (Q, 64): the only random access
+    eq = (row[:, 0:16] == qhi[:, None]) & (row[:, 16:32] == qlo[:, None])
+    found = eq.any(axis=1)
+    cell = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    slot = bucket * jnp.int32(16) + cell
+    return eq, found, slot, row
+
+
+def _meta_block(eq, row, lanes: slice):
+    """Matched key's meta word from one 16-lane block — a masked lane
+    reduction, no second gather."""
+    return jnp.sum(jnp.where(eq, row[:, lanes], jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+
+
 def bucket_lookup(
     rows: jax.Array,  # (num_buckets, 64) uint32 — see index/bucket.py layout
     h_bits: int,
@@ -131,17 +151,10 @@ def bucket_lookup(
     Returns (found bool, slot int32, meta uint32) with shapes of qhi.
     """
     shape = qhi.shape
-    qhi = qhi.reshape(-1)
-    qlo = qlo.reshape(-1)
-    shi = qhi ^ jnp.uint32(salt) if salt else qhi
-    bucket = cuckoo_slots(shi, qlo, h_bits, 0).astype(jnp.int32)
-    row = rows[bucket]  # (Q, 64): the only random access
-    eq = (row[:, 0:16] == qhi[:, None]) & (row[:, 16:32] == qlo[:, None])
-    found = eq.any(axis=1)
-    cell = jnp.argmax(eq, axis=1).astype(jnp.int32)
-    slot = bucket * jnp.int32(16) + cell
-    # meta without a second gather: masked lane reduction
-    meta = jnp.sum(jnp.where(eq, row[:, 32:48], jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+    eq, found, slot, row = _bucket_probe(
+        rows, h_bits, salt, qhi.reshape(-1), qlo.reshape(-1)
+    )
+    meta = _meta_block(eq, row, slice(32, 48))
     return found.reshape(shape), slot.reshape(shape), meta.reshape(shape)
 
 
@@ -161,17 +174,11 @@ def bucket_lookup_wide(
     meta_hi) with shapes of qhi.
     """
     shape = qhi.shape
-    qhi = qhi.reshape(-1)
-    qlo = qlo.reshape(-1)
-    shi = qhi ^ jnp.uint32(salt) if salt else qhi
-    bucket = cuckoo_slots(shi, qlo, h_bits, 0).astype(jnp.int32)
-    row = rows[bucket]  # (Q, 64): the only random access
-    eq = (row[:, 0:16] == qhi[:, None]) & (row[:, 16:32] == qlo[:, None])
-    found = eq.any(axis=1)
-    cell = jnp.argmax(eq, axis=1).astype(jnp.int32)
-    slot = bucket * jnp.int32(16) + cell
-    meta_lo = jnp.sum(jnp.where(eq, row[:, 32:48], jnp.uint32(0)), axis=1, dtype=jnp.uint32)
-    meta_hi = jnp.sum(jnp.where(eq, row[:, 48:64], jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+    eq, found, slot, row = _bucket_probe(
+        rows, h_bits, salt, qhi.reshape(-1), qlo.reshape(-1)
+    )
+    meta_lo = _meta_block(eq, row, slice(32, 48))
+    meta_hi = _meta_block(eq, row, slice(48, 64))
     return (
         found.reshape(shape),
         slot.reshape(shape),

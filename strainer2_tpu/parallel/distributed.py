@@ -59,15 +59,17 @@ def host_file_partition(paths: list[str], process_index: int,
             sizes.append(0)
     order = np.argsort(-np.asarray(sizes), kind="stable")
     load = [0] * process_count
-    mine: list[str] = []
+    # assign by POSITION, not by path value: duplicate list entries are a
+    # supported input (they re-count) and each occurrence must land on
+    # exactly one host
+    mine_idx: list[int] = []
     for i in order:
         h = int(np.argmin(load))
         load[h] += sizes[i] or 1
         if h == process_index:
-            mine.append(paths[i])
+            mine_idx.append(int(i))
     # preserve the original list order within this host's share
-    mine_set = set(mine)
-    return [p for p in paths if p in mine_set]
+    return [paths[i] for i in sorted(mine_idx)]
 
 
 def merge_across_hosts(local_counts: np.ndarray) -> np.ndarray:

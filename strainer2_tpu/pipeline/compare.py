@@ -251,7 +251,10 @@ def run_genome_compare(
                 file=sys.stderr,
             )
             raise SystemExit(1)
-        if comparer._host is not None and len(paths) > 1:
+        native_host = comparer._host is not None and not isinstance(
+            comparer._host, _HostSetComparer
+        )  # the pure-Python fallback is GIL-bound: threads add nothing
+        if native_host and len(paths) > 1:
             # native string engine: score queries concurrently (the key set
             # is read-only; results are scalar tallies written in list
             # order — byte-identical to the sequential loop)

@@ -134,6 +134,95 @@ def _aggregate_classify_chunk(lens, tot, inf, paired: bool, k: int):
     return kmers_evaluated, reads_evaluated, pe1, tot, inf, zero, zero
 
 
+def _parse_batch_entries(batch_list: str) -> list:
+    """Batch-list lines as ordered entries: ("sample", (f1, f2, ftype)) or
+    ("msg", stdout_text) for malformed lines — preserving the reference's
+    interleaving of warnings with sample processing."""
+    entries: list = []
+    with open(batch_list) as f:
+        for raw in f:
+            line = raw.rstrip("\n")
+            fields = [t for t in line.split("\t") if t != ""]
+            token = fields[0] if fields else line
+            ftype = get_file_type(token)
+            if ftype < 0:
+                entries.append(("msg", "unknown file type skipping line (%s)\n" % token))
+                continue
+            if len(fields) < 2:
+                entries.append(("msg", "ERROR: no first file specified for %s\n" % token))
+                continue
+            if ftype == IS_PAIRED_END and len(fields) < 3:
+                entries.append(
+                    ("msg", "ERROR: no second file specified for PE: %s\n" % token)
+                )
+                continue
+            f2 = fields[2] if ftype == IS_PAIRED_END else None
+            entries.append(("sample", (fields[1], f2, ftype)))
+    return entries
+
+
+def _run_sample_pool(entries, threads: int, run_one, emit, stdout) -> None:
+    """Concurrent sample scoring with sequential observable behavior.
+
+    entries come from _parse_batch_entries; samples run on a worker pool
+    (``run_one(sample_args) -> payload``; the shared classify table is
+    read-only — TSan-verified shape) while the main thread consumes
+    entries IN ORDER: stdout messages emit at their list position,
+    payloads emit via ``emit(payload)``.  Per-thread stderr capture keeps
+    error runs exact: a failing sample's diagnostics print after every
+    earlier sample's output, nothing after it emits (later warnings
+    included), and the run exits 1 — the sequential stop-at-first-failure,
+    byte-for-byte on every stream.
+    """
+    import concurrent.futures
+    from collections import deque
+
+    tee = _ThreadStderrTee(sys.stderr)
+    samples = [val for kind, val in entries if kind == "sample"]
+
+    def work(args):
+        ebuf = tee.capture()
+        payload = None
+        outcome = None
+        try:
+            payload = run_one(args)
+        except SystemExit as e:
+            outcome = e.code if e.code is not None else 0
+        except BaseException as e:  # re-raised in list order below
+            outcome = e
+        finally:
+            tee.uncapture()
+        return payload, ebuf.getvalue(), outcome
+
+    old_stderr = sys.stderr
+    sys.stderr = tee
+    try:
+        with concurrent.futures.ThreadPoolExecutor(threads) as ex:
+            futs: deque = deque()
+            idx = 0
+            try:
+                for kind, val in entries:
+                    if kind == "msg":
+                        stdout.write(val)
+                        continue
+                    while idx < len(samples) and len(futs) < threads + 2:
+                        futs.append(ex.submit(work, samples[idx]))
+                        idx += 1
+                    payload, errtxt, outcome = futs.popleft().result()
+                    if payload is not None:
+                        emit(payload)
+                    if errtxt:
+                        old_stderr.write(errtxt)
+                    if outcome is not None:
+                        if isinstance(outcome, BaseException):
+                            raise outcome
+                        raise SystemExit(outcome)
+            finally:
+                ex.shutdown(wait=True, cancel_futures=True)
+    finally:
+        sys.stderr = old_stderr
+
+
 def _detect_threads(n_samples: int) -> int:
     """Worker count for sample-parallel detection (STRAINER2_DETECT_THREADS
     overrides; default caps at 8).  Each in-flight sample buffers its
@@ -293,9 +382,8 @@ class StrainDetector:
         import jax.numpy as jnp
 
         from strainer2_tpu.pipeline.scrub_count import (
-            _count_files_parallel,
-            _count_threads,
             _use_native_counting,
+            count_files_native_pooled,
         )
 
         cfg = self.cfg
@@ -305,11 +393,8 @@ class StrainDetector:
             if _use_native_counting(self.engine)
             else None
         )
-        n_threads = _count_threads(len(paths)) if nc is not None else 1
-        if len(paths) > 1 and n_threads > 1:
-            counts_np = np.zeros(self.index.table.num_slots, dtype=np.uint32)
-            counts_np = _count_files_parallel(nc, counts_np, paths, n_threads)
-        else:
+        counts_np = count_files_native_pooled(nc, paths, self.index.table.num_slots)
+        if counts_np is None:
             counts = jnp.zeros(self.index.table.num_slots, dtype=jnp.uint32)
             for path in paths:
                 counts = count_panel_file(
@@ -402,97 +487,33 @@ class StrainDetector:
         self._finalize_meta()
         with gzip.open(out_path, "wt", compresslevel=9) as out:
             if batch_list is not None:
-                samples = []
-                with open(batch_list) as f:
-                    for raw in f:
-                        line = raw.rstrip("\n")
-                        fields = [t for t in line.split("\t") if t != ""]
-                        token = fields[0] if fields else line
-                        ftype = get_file_type(token)
-                        if ftype < 0:
-                            self.stdout.write(
-                                "unknown file type skipping line (%s)\n" % token
-                            )
-                            continue
-                        if len(fields) < 2:
-                            self.stdout.write(
-                                "ERROR: no first file specified for %s\n" % token
-                            )
-                            continue
-                        if ftype == IS_PAIRED_END and len(fields) < 3:
-                            self.stdout.write(
-                                "ERROR: no second file specified for PE: %s\n" % token
-                            )
-                            continue
-                        f2 = fields[2] if ftype == IS_PAIRED_END else None
-                        samples.append((fields[1], f2, ftype))
+                entries = _parse_batch_entries(batch_list)
+                n_samples = sum(1 for kind, _ in entries if kind == "sample")
                 nc = self._native_classifier()
-                threads = _detect_threads(len(samples))
-                if nc is not None and len(samples) > 1 and threads > 1:
-                    self._quantify_samples_parallel(nc, samples, out, threads)
+                threads = _detect_threads(n_samples)
+                if nc is not None and n_samples > 1 and threads > 1:
+                    import io
+
+                    def run_one(args):
+                        buf = io.StringIO()
+                        self._quantify_sample_native(nc, *args, buf)
+                        return buf.getvalue()
+
+                    _run_sample_pool(
+                        entries, threads, run_one, out.write, self.stdout
+                    )
                 else:
-                    for f1, f2, ftype in samples:
-                        self._quantify_sample(f1, f2, ftype, out)
+                    # stdout warnings interleave with samples exactly as the
+                    # reference's streaming loop emits them (an error run
+                    # never reaches later lines' warnings)
+                    for kind, val in entries:
+                        if kind == "msg":
+                            self.stdout.write(val)
+                        else:
+                            self._quantify_sample(*val, out)
             else:
                 self._quantify_sample(b_file, b_file2, file_type, out)
 
-    def _quantify_samples_parallel(self, nc, samples, out, threads: int) -> None:
-        """Score batch-list samples concurrently (native classifier path).
-
-        Each worker runs one sample's full native pass into a private
-        text buffer (the classify table is shared read-only — the
-        concurrency shape TSan-verified by tools/tsan_stress.sh); the main
-        thread writes buffers into the gzip stream IN LIST ORDER, so the
-        output is byte-identical to the sequential loop.  Per-thread
-        stderr capture preserves error-run semantics exactly: a failing
-        sample's diagnostics print after every earlier sample's output,
-        later samples' output and diagnostics are discarded, and the run
-        exits 1 — just like the sequential stop-at-first-failure.
-        """
-        import concurrent.futures
-        import io
-        import threading
-        from collections import deque
-
-        tee = _ThreadStderrTee(sys.stderr)
-
-        def work(f1, f2, ftype):
-            buf = io.StringIO()
-            ebuf = tee.capture()
-            outcome = None
-            try:
-                self._quantify_sample_native(nc, f1, f2, ftype, buf)
-            except SystemExit as e:
-                outcome = e.code if e.code is not None else 0
-            except BaseException as e:  # re-raised in list order below
-                outcome = e
-            finally:
-                tee.uncapture()
-            return buf.getvalue(), ebuf.getvalue(), outcome
-
-        old_stderr = sys.stderr
-        sys.stderr = tee
-        try:
-            with concurrent.futures.ThreadPoolExecutor(threads) as ex:
-                futs: deque = deque()
-                idx = 0
-                try:
-                    for _ in range(len(samples)):
-                        while idx < len(samples) and len(futs) < threads + 2:
-                            futs.append(ex.submit(work, *samples[idx]))
-                            idx += 1
-                        payload, errtxt, outcome = futs.popleft().result()
-                        out.write(payload)
-                        if errtxt:
-                            old_stderr.write(errtxt)
-                        if outcome is not None:
-                            if isinstance(outcome, BaseException):
-                                raise outcome
-                            raise SystemExit(outcome)
-                finally:
-                    ex.shutdown(wait=True, cancel_futures=True)
-        finally:
-            sys.stderr = old_stderr
 
     # ---- per-sample hot loop ----
     def _read_stream(self, f1: str, f2: str | None, ftype: int) -> Iterator[bytes]:

@@ -2,16 +2,16 @@
 
 The reference scores one strain per process and re-reads every target
 metagenome once per strain (Snakemake fan-out, SURVEY.md §2.7).  Here up
-to 16 strains share one union membership table: each union k-mer's meta
-lane packs two bits per strain (present, informative), so a single stream
-pass over the targets yields every strain's per-read total/informative
-counts — the target data is read and canonicalized once instead of S
-times.
+to 32 strains share one union membership table: two bits per strain
+(present, informative) pack across the bucket row's TWO 16-lane meta
+blocks (64 meta bits per k-mer, resolved by the same single gather —
+ops.lookup.bucket_lookup_wide), so a single stream pass over the targets
+yields every strain's per-read total/informative counts — the target
+data is read and canonicalized once instead of S times.
 
 Outputs are per-strain kmer_hits files byte-identical to running the
 single-strain detector per strain (verified in tests/test_multi_detect.py).
-Strains beyond 16 are processed in chunks of 16 passes-worth at a time by
-the caller.
+Strains beyond MAX_STRAINS_PER_PASS are processed in chunks by the caller.
 """
 
 from __future__ import annotations
@@ -312,9 +312,8 @@ class MultiStrainDetector:
         from strainer2_tpu.pipeline.scrub_count import count_panel_file, read_list_file
 
         from strainer2_tpu.pipeline.scrub_count import (
-            _count_files_parallel,
-            _count_threads,
             _use_native_counting,
+            count_files_native_pooled,
         )
 
         cfg = self.cfg
@@ -329,15 +328,8 @@ class MultiStrainDetector:
                 nc = NativePanelCounter(union, self.table.slot_of_key, cfg.k)
             except (RuntimeError, MemoryError):
                 nc = None
-        if nc is not None:
-            per_slot = np.zeros(self.table.num_slots, dtype=np.uint32)
-            n_threads = _count_threads(len(paths))
-            if len(paths) > 1 and n_threads > 1:
-                per_slot = _count_files_parallel(nc, per_slot, paths, n_threads)
-            else:
-                for path in paths:
-                    nc.count_file(per_slot, path)
-        else:
+        per_slot = count_files_native_pooled(nc, paths, self.table.num_slots)
+        if per_slot is None:
             counts = jnp.zeros(self.table.num_slots, dtype=jnp.uint32)
             for path in paths:
                 counts = count_panel_file(
@@ -355,94 +347,46 @@ class MultiStrainDetector:
     def quantify_all(self, out_paths: list[str], batch_list: str) -> None:
         """One pass over every sample in the batch file; writes one
         kmer_hits gz file per strain."""
+        from strainer2_tpu.pipeline.detect import (
+            _detect_threads,
+            _parse_batch_entries,
+            _run_sample_pool,
+        )
+
         outs = [gzip.open(p, "wt", compresslevel=9) for p in out_paths]
         try:
-            samples = []
-            with open(batch_list) as f:
-                for raw in f:
-                    fields = [t for t in raw.rstrip("\n").split("\t") if t != ""]
-                    token = fields[0] if fields else raw.rstrip("\n")
-                    ftype = get_file_type(token)
-                    if ftype < 0:
-                        self.stdout.write("unknown file type skipping line (%s)\n" % token)
-                        continue
-                    if len(fields) < 2:
-                        self.stdout.write("ERROR: no first file specified for %s\n" % token)
-                        continue
-                    if ftype == IS_PAIRED_END and len(fields) < 3:
-                        self.stdout.write(
-                            "ERROR: no second file specified for PE: %s\n" % token
-                        )
-                        continue
-                    f2 = fields[2] if ftype == IS_PAIRED_END else None
-                    samples.append((fields[1], f2, ftype))
+            entries = _parse_batch_entries(batch_list)
+            n_samples = sum(1 for kind, _ in entries if kind == "sample")
             nc = self._native_multi_classifier()
-            from strainer2_tpu.pipeline.detect import _detect_threads
+            threads = _detect_threads(n_samples)
+            if nc is not None and n_samples > 1 and threads > 1:
+                # shared pool (detect._run_sample_pool): workers fill S
+                # per-strain buffers; the main thread writes them to the S
+                # gzip streams in list order — byte-identical, incl. the
+                # sequential error-run semantics
+                import io
 
-            threads = _detect_threads(len(samples))
-            if nc is not None and len(samples) > 1 and threads > 1:
-                self._quantify_samples_parallel(nc, samples, outs, threads)
+                n_strains = len(self.states)
+
+                def run_one(args):
+                    bufs = [io.StringIO() for _ in range(n_strains)]
+                    self._quantify_sample_native(nc, *args, bufs)
+                    return [b.getvalue() for b in bufs]
+
+                def emit(payloads):
+                    for o, payload in zip(outs, payloads):
+                        o.write(payload)
+
+                _run_sample_pool(entries, threads, run_one, emit, self.stdout)
             else:
-                for f1, f2, ftype in samples:
-                    self._quantify_sample(f1, f2, ftype, outs)
+                for kind, val in entries:
+                    if kind == "msg":
+                        self.stdout.write(val)
+                    else:
+                        self._quantify_sample(*val, outs)
         finally:
             for o in outs:
                 o.close()
-
-    def _quantify_samples_parallel(self, nc, samples, outs, threads: int) -> None:
-        """Sample-parallel twin of detect._quantify_samples_parallel for the
-        multi-strain pass: each worker fills S private per-strain buffers;
-        the main thread writes them into the S gzip streams IN LIST ORDER
-        (byte-identical to the sequential loop, incl. error-run semantics:
-        stop at the first failing sample, earlier output flushed, exact
-        stderr, exit 1)."""
-        import concurrent.futures
-        import io
-        from collections import deque
-
-        from strainer2_tpu.pipeline.detect import _ThreadStderrTee
-
-        n_strains = len(self.states)
-        tee = _ThreadStderrTee(sys.stderr)
-
-        def work(f1, f2, ftype):
-            bufs = [io.StringIO() for _ in range(n_strains)]
-            ebuf = tee.capture()
-            outcome = None
-            try:
-                self._quantify_sample_native(nc, f1, f2, ftype, bufs)
-            except SystemExit as e:
-                outcome = e.code if e.code is not None else 0
-            except BaseException as e:  # re-raised in list order below
-                outcome = e
-            finally:
-                tee.uncapture()
-            return [b.getvalue() for b in bufs], ebuf.getvalue(), outcome
-
-        old_stderr = sys.stderr
-        sys.stderr = tee
-        try:
-            with concurrent.futures.ThreadPoolExecutor(threads) as ex:
-                futs: deque = deque()
-                idx = 0
-                try:
-                    for _ in range(len(samples)):
-                        while idx < len(samples) and len(futs) < threads + 2:
-                            futs.append(ex.submit(work, *samples[idx]))
-                            idx += 1
-                        payloads, errtxt, outcome = futs.popleft().result()
-                        for o, payload in zip(outs, payloads):
-                            o.write(payload)
-                        if errtxt:
-                            old_stderr.write(errtxt)
-                        if outcome is not None:
-                            if isinstance(outcome, BaseException):
-                                raise outcome
-                            raise SystemExit(outcome)
-                finally:
-                    ex.shutdown(wait=True, cancel_futures=True)
-        finally:
-            sys.stderr = old_stderr
 
     def _quantify_sample(self, f1: str, f2: str | None, ftype: int, outs: list[IO]) -> None:
         cfg = self.cfg

@@ -63,18 +63,15 @@ def multi_scrub_counts(
 
     def count_list(paths: list[str]):
         from strainer2_tpu.pipeline.scrub_count import (
-            _count_files_parallel,
-            _count_threads,
             _use_native_counting,
+            count_files_native_pooled,
         )
 
         for path in paths:
             _progress_line(progress, path)
         nc = union.native_counter() if _use_native_counting(engine) else None
-        n_threads = _count_threads(len(paths)) if nc is not None else 1
-        if len(paths) > 1 and n_threads > 1:
-            counts_np = np.zeros(union.table.num_slots, dtype=np.uint32)
-            counts_np = _count_files_parallel(nc, counts_np, paths, n_threads)
+        counts_np = count_files_native_pooled(nc, paths, union.table.num_slots)
+        if counts_np is not None:
             return union.key_values(counts_np).astype(np.uint32)
         counts = jnp.zeros(union.table.num_slots, dtype=jnp.uint32)
         for path in paths:

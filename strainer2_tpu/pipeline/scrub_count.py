@@ -181,24 +181,30 @@ def _count_panel(
             _exit_could_not_read(
                 f"could not read file {list_path} in GEN_all_kmer_counts()"
             )
-        todo: list[str] = []
         multihost = partition is not None and partition[1] > 1
+        eligible: list[str] = []
         for path in listed:
             if not multihost:
                 _progress_line(progress, path)
             if skip_path is not None and path == skip_path:
                 print(f"skipping {path} (identical match)", file=sys.stderr)
                 continue
+            eligible.append(path)
+        if multihost:
+            from strainer2_tpu.parallel.distributed import host_file_partition
+
+            # partition the FULL eligible list (identical on every rank,
+            # resumed or not) — done-file skipping applies to this rank's
+            # share afterwards, so resume cannot shift the assignment
+            eligible = host_file_partition(eligible, *partition)
+            for path in eligible:  # this host's progress covers its share
+                _progress_line(progress, path)
+        todo: list[str] = []
+        for path in eligible:
             if done[path] > 0:  # completed in a previous run (multiset:
                 done[path] -= 1  # duplicate list entries re-count)
                 continue
             todo.append(path)
-        if multihost:
-            from strainer2_tpu.parallel.distributed import host_file_partition
-
-            todo = host_file_partition(todo, *partition)
-            for path in todo:  # this host's progress covers its own share
-                _progress_line(progress, path)
         nc = None
         if checkpoint is None and len(todo) > 1 and _use_native_counting(engine):
             nc_fn = getattr(index, "native_counter", None)
@@ -241,6 +247,29 @@ def _count_threads(n_files: int) -> int:
     if env is not None:
         return max(1, min(int(env), n_files))
     return max(1, min(os.cpu_count() or 1, 8, n_files))
+
+
+def count_files_native_pooled(nc, paths: list, num_slots: int):
+    """Count ``paths`` with a native panel counter — pooled across cores
+    when beneficial, sequential otherwise; returns the per-slot uint32
+    counts, or None when ``nc`` is None (caller runs its jit fallback).
+    The one dispatch rule shared by background_filter, the multi-strain
+    shared background filter, and multi_scrub's union counting."""
+    if nc is None:
+        return None
+    from strainer2_tpu.utils import observability as _obs
+    from strainer2_tpu.utils.observability import stage
+
+    counts = np.zeros(num_slots, dtype=np.uint32)
+    n_threads = _count_threads(len(paths))
+    if len(paths) > 1 and n_threads > 1:
+        return _count_files_parallel(nc, counts, paths, n_threads)
+    with stage("scrub.panel_lookups"):
+        total = 0
+        for path in paths:
+            total += nc.count_file(counts, path)
+    _obs._items["scrub.panel_lookups"] += total
+    return counts
 
 
 def _count_files_parallel(nc, counts_np: np.ndarray, paths: list, n_threads: int):
@@ -329,21 +358,32 @@ def run_scrub_count(
 
         engine = ShardedPanelEngine(index, cfg.mesh[0], cfg.mesh[1])
 
-    ckpt = None
-    if checkpoint_dir:
-        from strainer2_tpu.pipeline.progress import ScrubCheckpoint
-
-        ckpt = ScrubCheckpoint(checkpoint_dir)
-
     # multi-host SPMD: with jax.distributed initialized (e.g.
     # JAX_COORDINATOR_ADDRESS in the environment, one process per host),
     # every process builds the same index, counts its deterministic share
     # of each panel list, and integer-merges columns — bit-identical to a
-    # single-process run; only process 0 writes the table.
+    # single-process run; only process 0 writes the table.  Failure
+    # semantics are SPMD-standard: a rank that exits on an unreadable file
+    # leaves peers blocked in the merge collective until the distributed
+    # runtime's timeout — the launcher (SLURM/job manager) must treat one
+    # rank's nonzero exit as job failure, as with any MPI program.
     from strainer2_tpu.parallel.distributed import initialize, merge_across_hosts
 
     pidx, pcount = initialize()
     partition = (pidx, pcount) if pcount > 1 else None
+
+    ckpt = None
+    if checkpoint_dir:
+        import os
+
+        from strainer2_tpu.pipeline.progress import ScrubCheckpoint
+
+        if pcount > 1:
+            # each rank checkpoints ITS partition's running counts — a
+            # shared directory would interleave divergent partials and a
+            # resume would merge the restored baseline once per rank
+            checkpoint_dir = os.path.join(checkpoint_dir, f"rank{pidx}")
+        ckpt = ScrubCheckpoint(checkpoint_dir)
 
     col_pan = _count_panel(engine, index, a_list, cfg, progress,
                            column=COL_PANGENOME, checkpoint=ckpt,

@@ -175,3 +175,14 @@ def test_run_scrub_count_two_real_processes(tmp_path):
         assert f.read() == expected
     with open(tmp_path / "table_1.tsv") as f:
         assert f.read() == ""  # non-zero ranks write nothing
+
+
+def test_host_file_partition_duplicate_entries_split_by_occurrence(tmp_path):
+    """Duplicate list entries (supported: they re-count) are partitioned by
+    POSITION — each occurrence lands on exactly one host."""
+    p = tmp_path / "f.fa"
+    p.write_bytes(b"x" * 100)
+    paths = [str(p), str(p)]
+    shares = [host_file_partition(paths, h, 2) for h in range(2)]
+    assert sorted(len(s) for s in shares) in ([0, 2], [1, 1])
+    assert sum(len(s) for s in shares) == 2

@@ -379,3 +379,36 @@ def test_detect_batch_parallel_error_matches_sequential(tmp_path, monkeypatch, c
     assert results["seq"][1]  # first sample's output IS present
     assert "could not read file" in results["par"][2]
     assert results["seq"][2] == results["par"][2]
+
+
+def test_detect_batch_warnings_interleave_and_stop_on_error(tmp_path, monkeypatch, capsys):
+    """Malformed-line warnings print at their batch-list position relative
+    to sample processing: a warning AFTER a failing sample never prints
+    (the reference's streaming loop stops first) — on both the sequential
+    and parallel paths."""
+    import pytest as _pytest
+
+    from strainer2_tpu.pipeline.detect import run_detect
+
+    batch = tmp_path / "targets_warn.txt"
+    with open("data/targets.txt") as f:
+        lines = [ln for ln in f if ln.strip() and not ln.startswith("#")]
+    # [warn0, sample0, bad-sample, warn1, sample1]
+    content = (
+        "XX\twhatever\n" + lines[0]
+        + "SE\t%s\n" % (tmp_path / "missing.fa.gz")
+        + "YY\twhatever\n" + lines[1]
+    )
+    batch.write_text(content)
+
+    for threads in ("1", "4"):
+        monkeypatch.setenv("STRAINER2_DETECT_THREADS", threads)
+        out = _Out()
+        with _pytest.raises(SystemExit):
+            run_detect(
+                "data/strainA.fna.gz", "expected/scrubbed_m05.txt",
+                str(tmp_path / f"h{threads}.gz"), stdout=out,
+                batch_list=str(batch),
+            )
+        capsys.readouterr()
+        assert out.getvalue() == "unknown file type skipping line (XX)\n", threads
