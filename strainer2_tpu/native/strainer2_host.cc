@@ -1000,12 +1000,20 @@ int s2_build_bucket(const uint64_t* codes, long long n, int k, int h_bits,
       slot_of_key[i] = (int32_t)(b * 16 + cell);
     }
   };
+  // N-way bucket-range split (each thread re-hashes all keys and writes
+  // only its disjoint bucket range — hashing is cheap next to the random
+  // row writes, so re-hashing costs less than any synchronization)
   unsigned hw = std::thread::hardware_concurrency();
-  if (hw >= 2 && b_count >= 2 && n > (1 << 16)) {
-    long long mid = b_count / 2;
-    std::thread t0(build_range, 0, mid);
-    build_range(mid, b_count);
-    t0.join();
+  long long n_threads = hw ? (long long)hw : 1;
+  if (n_threads > 8) n_threads = 8;  // hashing passes scale with threads
+  if (n_threads > b_count) n_threads = b_count;
+  if (n_threads >= 2 && n > (1 << 16)) {
+    std::vector<std::thread> ts;
+    for (long long t = 1; t < n_threads; ++t)
+      ts.emplace_back(build_range, b_count * t / n_threads,
+                      b_count * (t + 1) / n_threads);
+    build_range(0, b_count / n_threads);
+    for (auto& t : ts) t.join();
   } else {
     build_range(0, b_count);
   }
