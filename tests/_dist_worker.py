@@ -37,7 +37,7 @@ def main() -> None:
     idx, cnt = initialize(f"127.0.0.1:{port}", nproc, pid)
     assert (idx, cnt) == (pid, nproc), (idx, cnt)
 
-    if mode == "scrub":
+    if mode in ("scrub", "scrub_ckpt"):
         # full run_scrub_count in SPMD mode: every process counts its
         # partition; rank 0 writes the table
         import io
@@ -50,6 +50,9 @@ def main() -> None:
             os.path.join(workdir, "panels.txt"),
             os.path.join(workdir, "panels.txt"),
             out=out,
+            checkpoint_dir=(
+                os.path.join(workdir, "ckpt") if mode == "scrub_ckpt" else None
+            ),
         )
         with open(os.path.join(workdir, f"table_{pid}.tsv"), "w") as f:
             f.write(out.getvalue())

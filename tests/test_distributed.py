@@ -186,3 +186,77 @@ def test_host_file_partition_duplicate_entries_split_by_occurrence(tmp_path):
     shares = [host_file_partition(paths, h, 2) for h in range(2)]
     assert sorted(len(s) for s in shares) in ([0, 2], [1, 1])
     assert sum(len(s) for s in shares) == 2
+
+
+def _launch_scrub_workers(tmp_path, mode):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_dist_worker.py")
+    env = {
+        k_: v
+        for k_, v in os.environ.items()
+        if k_ not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", port, str(tmp_path), mode],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out = p.communicate(timeout=180)[0]
+        assert p.returncode == 0, out.decode(errors="replace")
+
+
+def test_run_scrub_count_two_processes_checkpointed_and_resumed(tmp_path):
+    """Multi-host + checkpoint: per-rank checkpoint dirs, partition computed
+    over the full list so resume can't shift assignments.  A fresh
+    checkpointed 2-process run AND a full resume (every file already done)
+    both produce the single-process table byte-for-byte."""
+    import io
+
+    from strainer2_tpu.pipeline.scrub_count import run_scrub_count
+
+    rng = np.random.default_rng(11)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = alpha[rng.integers(0, 4, size=2500)].tobytes().decode()
+    _write_fasta(tmp_path / "genome.fa", [genome])
+    panels = []
+    for j in range(5):
+        reads = []
+        for _ in range(30):
+            if rng.random() < 0.5:
+                start = int(rng.integers(0, len(genome) - 70))
+                reads.append(genome[start : start + 70])
+            else:
+                reads.append(alpha[rng.integers(0, 4, size=70)].tobytes().decode())
+        p = tmp_path / f"panel_{j}.fa"
+        _write_fasta(p, reads)
+        panels.append(str(p))
+    # a duplicate entry exercises occurrence-level partitioning
+    with open(tmp_path / "panels.txt", "w") as f:
+        f.write("\n".join(panels + [panels[0]]) + "\n")
+
+    out = io.StringIO()
+    run_scrub_count(
+        str(tmp_path / "genome.fa"), str(tmp_path / "panels.txt"),
+        str(tmp_path / "panels.txt"), out=out,
+    )
+    expected = out.getvalue()
+
+    _launch_scrub_workers(tmp_path, "scrub_ckpt")
+    with open(tmp_path / "table_0.tsv") as f:
+        assert f.read() == expected
+    assert (tmp_path / "ckpt" / "rank0").is_dir()
+    assert (tmp_path / "ckpt" / "rank1").is_dir()
+
+    # resume: every file recorded done — counts restore from checkpoints
+    os.remove(tmp_path / "table_0.tsv")
+    _launch_scrub_workers(tmp_path, "scrub_ckpt")
+    with open(tmp_path / "table_0.tsv") as f:
+        assert f.read() == expected
