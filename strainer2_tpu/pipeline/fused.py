@@ -146,14 +146,32 @@ def run_pipeline(
         index = StrainIndex.from_fasta(r_file, engine, cfg.rows, cfg.row_len)
 
     # ---- stage 1: panel counting (one shared index) ----
-    col_pan = _count_panel(engine, index, a_list, cfg, progress, column=COL_PANGENOME)
-    col_meta = _count_panel(engine, index, b_list, cfg, progress, column=COL_METAGENOME)
+    # multi-host SPMD (same contract as run_scrub_count): with
+    # jax.distributed initialized, ranks count partitioned shares of each
+    # panel list and integer-merge; rank 0 alone runs filter/detect/
+    # coverage and writes every artifact
+    from strainer2_tpu.parallel.distributed import initialize, merge_across_hosts
+
+    pidx, pcount = initialize()
+    partition = (pidx, pcount) if pcount > 1 else None
+
+    col_pan = _count_panel(engine, index, a_list, cfg, progress,
+                           column=COL_PANGENOME, partition=partition)
+    col_meta = _count_panel(engine, index, b_list, cfg, progress,
+                            column=COL_METAGENOME, partition=partition)
     col_drug = (
         _count_panel(engine, index, c_list, cfg, progress,
-                     skip_path=r_file, column=COL_DRUG)
+                     skip_path=r_file, column=COL_DRUG, partition=partition)
         if c_list
         else None
     )
+    if pcount > 1:
+        col_pan = merge_across_hosts(col_pan)
+        col_meta = merge_across_hosts(col_meta)
+        if col_drug is not None:
+            col_drug = merge_across_hosts(col_drug)
+        if pidx != 0:
+            return paths  # rank 0 owns the downstream stages + artifacts
 
     order = reference_row_order(index.codes, index.k)
     # The counts artifact is observability output — no later fused stage

@@ -58,6 +58,18 @@ def main() -> None:
             f.write(out.getvalue())
         return
 
+    if mode == "fused":
+        from strainer2_tpu.pipeline.fused import run_pipeline
+
+        run_pipeline(
+            os.path.join(workdir, "genome.fa"),
+            os.path.join(workdir, "panels.txt"),
+            os.path.join(workdir, "panels.txt"),
+            os.path.join(workdir, "targets.txt"),
+            os.path.join(workdir, f"fused_out_{pid}"),
+        )
+        return
+
     k = 31
     rows, row_len = 8, 512
     engine = KmerEngine(k)

@@ -260,3 +260,54 @@ def test_run_scrub_count_two_processes_checkpointed_and_resumed(tmp_path):
     _launch_scrub_workers(tmp_path, "scrub_ckpt")
     with open(tmp_path / "table_0.tsv") as f:
         assert f.read() == expected
+
+
+def test_fused_pipeline_two_real_processes(tmp_path):
+    """The fused 4-stage pipeline in SPMD mode: ranks share the panel
+    counting, rank 0 produces every artifact byte-identical to a
+    single-process run; rank 1 produces none."""
+    rng = np.random.default_rng(23)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = alpha[rng.integers(0, 4, size=2500)].tobytes().decode()
+    _write_fasta(tmp_path / "genome.fa", [genome])
+    panels = []
+    for j in range(4):
+        reads = []
+        for _ in range(30):
+            if rng.random() < 0.5:
+                start = int(rng.integers(0, len(genome) - 70))
+                reads.append(genome[start : start + 70])
+            else:
+                reads.append(alpha[rng.integers(0, 4, size=70)].tobytes().decode())
+        p = tmp_path / f"panel_{j}.fa"
+        _write_fasta(p, reads)
+        panels.append(str(p))
+    with open(tmp_path / "panels.txt", "w") as f:
+        f.write("\n".join(panels) + "\n")
+    with open(tmp_path / "targets.txt", "w") as f:
+        f.write(f"SE\t{panels[0]}\n")
+
+    from strainer2_tpu.pipeline.fused import FusedConfig, run_pipeline
+
+    ref_paths = run_pipeline(
+        str(tmp_path / "genome.fa"), str(tmp_path / "panels.txt"),
+        str(tmp_path / "panels.txt"), str(tmp_path / "targets.txt"),
+        str(tmp_path / "fused_ref"),
+    )
+
+    _launch_scrub_workers(tmp_path, "fused")
+    import gzip as _gzip
+
+    for key, ref_p in ref_paths.items():
+        got_p = ref_p.replace("fused_ref", "fused_out_0")
+        if ref_p.endswith(".gz"):
+            with _gzip.open(ref_p, "rb") as a, _gzip.open(got_p, "rb") as b:
+                assert a.read() == b.read(), key
+        else:
+            with open(ref_p, "rb") as a, open(got_p, "rb") as b:
+                assert a.read() == b.read(), key
+    # rank 1 wrote no artifacts beyond its (empty-ish) out dir
+    import os as _os
+
+    r1 = tmp_path / "fused_out_1"
+    assert not any(_os.scandir(r1)) if r1.exists() else True
