@@ -206,3 +206,27 @@ def test_multi_strain_parallel_samples_match_sequential(tmp_path, monkeypatch):
     for i, p in enumerate(outs_p):
         with gzip.open(p, "rb") as f:
             assert f.read() == base[i], f"strain {i} differs"
+
+
+def test_multi_strain_wide_with_background_matches_single_runs(tmp_path):
+    """18 strains + shared -g background filter: demotion happens before
+    the dual-block meta packing, so hi-block strains demote exactly like
+    per-strain runs."""
+    from strainer2_tpu.pipeline.detect import run_detect
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    strains = _twenty_strains(tmp_path)[:18]
+    singles = []
+    for i, (r, a) in enumerate(strains):
+        p = str(tmp_path / f"sbgw_{i}.gz")
+        run_detect(r, a, p, batch_list="data/targets.txt",
+                   background_list="data/background.txt")
+        with gzip.open(p, "rb") as f:
+            singles.append(f.read())
+
+    det = MultiStrainDetector(strains, background_list="data/background.txt")
+    outs = [str(tmp_path / f"mbgw_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+    for i, p in enumerate(outs):
+        with gzip.open(p, "rb") as f:
+            assert f.read() == singles[i], f"strain {i} differs"
