@@ -587,7 +587,14 @@ class NativeComparer:
         self._lib = lib
         self._s = lib.s2_compare_build(a_file.encode(), k)
         if not self._s:
-            raise OSError(f"could not read file {a_file}")
+            # null handle covers both unreadable input and an allocation
+            # failure mid-build (CompareSet grow abort) — disambiguate so
+            # OOM isn't misreported as a missing file
+            try:
+                open(a_file, "rb").close()
+            except OSError:
+                raise OSError(f"could not read file {a_file}")
+            raise MemoryError("native compare table allocation failed")
 
     @property
     def num_kmers(self) -> int:

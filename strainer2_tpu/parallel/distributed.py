@@ -36,11 +36,17 @@ def initialize(coordinator_address: str | None = None,
     import jax
 
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:
+            # idempotent across pipeline invocations in one process (e.g. a
+            # driver looping run_scrub_count over strains)
+            if "already" not in str(e).lower():
+                raise
     return jax.process_index(), jax.process_count()
 
 

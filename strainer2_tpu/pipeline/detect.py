@@ -161,18 +161,21 @@ def _parse_batch_entries(batch_list: str) -> list:
     return entries
 
 
-def _run_sample_pool(entries, threads: int, run_one, emit, stdout) -> None:
+def _run_sample_pool(entries, threads: int, new_sink, run_one, payload_of,
+                     emit, stdout) -> None:
     """Concurrent sample scoring with sequential observable behavior.
 
     entries come from _parse_batch_entries; samples run on a worker pool
-    (``run_one(sample_args) -> payload``; the shared classify table is
-    read-only — TSan-verified shape) while the main thread consumes
+    (``run_one(sample_args, sink)`` writes into a pool-created ``sink``;
+    the shared classify table is read-only — TSan-verified shape, see
+    tools/tsan_stress.py scenario 5) while the main thread consumes
     entries IN ORDER: stdout messages emit at their list position,
-    payloads emit via ``emit(payload)``.  Per-thread stderr capture keeps
-    error runs exact: a failing sample's diagnostics print after every
-    earlier sample's output, nothing after it emits (later warnings
-    included), and the run exits 1 — the sequential stop-at-first-failure,
-    byte-for-byte on every stream.
+    payloads (``payload_of(sink)``) emit via ``emit``.  Per-thread stderr
+    capture keeps error runs exact: a failing sample's PARTIAL output and
+    diagnostics emit after every earlier sample's output — just like the
+    sequential loop, which writes rows to the stream before raising —
+    nothing after it emits (later warnings included), and the run exits 1.
+    Byte-for-byte on every stream, success or failure.
     """
     import concurrent.futures
     from collections import deque
@@ -181,18 +184,20 @@ def _run_sample_pool(entries, threads: int, run_one, emit, stdout) -> None:
     samples = [val for kind, val in entries if kind == "sample"]
 
     def work(args):
+        sink = new_sink()
         ebuf = tee.capture()
-        payload = None
         outcome = None
         try:
-            payload = run_one(args)
+            run_one(args, sink)
         except SystemExit as e:
             outcome = e.code if e.code is not None else 0
         except BaseException as e:  # re-raised in list order below
             outcome = e
         finally:
             tee.uncapture()
-        return payload, ebuf.getvalue(), outcome
+        # extract even on failure: the sequential path has already written
+        # the failing sample's rows to the stream when it raises
+        return payload_of(sink), ebuf.getvalue(), outcome
 
     old_stderr = sys.stderr
     sys.stderr = tee
@@ -209,8 +214,7 @@ def _run_sample_pool(entries, threads: int, run_one, emit, stdout) -> None:
                         futs.append(ex.submit(work, samples[idx]))
                         idx += 1
                     payload, errtxt, outcome = futs.popleft().result()
-                    if payload is not None:
-                        emit(payload)
+                    emit(payload)
                     if errtxt:
                         old_stderr.write(errtxt)
                     if outcome is not None:
@@ -494,13 +498,14 @@ class StrainDetector:
                 if nc is not None and n_samples > 1 and threads > 1:
                     import io
 
-                    def run_one(args):
-                        buf = io.StringIO()
-                        self._quantify_sample_native(nc, *args, buf)
-                        return buf.getvalue()
-
                     _run_sample_pool(
-                        entries, threads, run_one, out.write, self.stdout
+                        entries, threads,
+                        io.StringIO,
+                        lambda args, buf: self._quantify_sample_native(
+                            nc, *args, buf
+                        ),
+                        lambda buf: buf.getvalue(),
+                        out.write, self.stdout,
                     )
                 else:
                     # stdout warnings interleave with samples exactly as the

@@ -33,7 +33,7 @@ from strainer2_tpu.io.batches import (
     read_codes_from_batch,
 )
 from strainer2_tpu.ops.packing import canonical_codes_np, decode_codes_np
-from strainer2_tpu.pipeline.detect import DetectConfig, StrainDetector, get_file_type
+from strainer2_tpu.pipeline.detect import DetectConfig, StrainDetector
 from strainer2_tpu.pipeline.engine import KmerEngine
 
 __all__ = ["MultiStrainDetector", "MAX_STRAINS_PER_PASS"]
@@ -368,16 +368,19 @@ class MultiStrainDetector:
 
                 n_strains = len(self.states)
 
-                def run_one(args):
-                    bufs = [io.StringIO() for _ in range(n_strains)]
-                    self._quantify_sample_native(nc, *args, bufs)
-                    return [b.getvalue() for b in bufs]
-
                 def emit(payloads):
                     for o, payload in zip(outs, payloads):
                         o.write(payload)
 
-                _run_sample_pool(entries, threads, run_one, emit, self.stdout)
+                _run_sample_pool(
+                    entries, threads,
+                    lambda: [io.StringIO() for _ in range(n_strains)],
+                    lambda args, bufs: self._quantify_sample_native(
+                        nc, *args, bufs
+                    ),
+                    lambda bufs: [b.getvalue() for b in bufs],
+                    emit, self.stdout,
+                )
             else:
                 for kind, val in entries:
                     if kind == "msg":

@@ -371,6 +371,17 @@ def run_scrub_count(
 
     pidx, pcount = initialize()
     partition = (pidx, pcount) if pcount > 1 else None
+    if partition is not None and cfg.mesh is not None:
+        # the shard_map mesh spans ALL processes' devices under
+        # jax.distributed: per-rank divergent file shares would break SPMD
+        # (different collective program counts per rank => deadlock)
+        print(
+            "--mesh and multi-process panel partitioning cannot combine: "
+            "run either one process with a device mesh, or one process per "
+            "host with per-host partitioning (the default here)",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
 
     ckpt = None
     if checkpoint_dir:

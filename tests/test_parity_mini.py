@@ -412,3 +412,50 @@ def test_detect_batch_warnings_interleave_and_stop_on_error(tmp_path, monkeypatc
             )
         capsys.readouterr()
         assert out.getvalue() == "unknown file type skipping line (XX)\n", threads
+
+
+def test_detect_batch_parallel_partial_output_on_pe2_early(tmp_path, monkeypatch, capsys):
+    """A sample whose PE2 ends early emits its PARTIAL rows before the
+    error (the stream classifies complete pairs first, then exits 1) —
+    identically on the sequential and parallel paths."""
+    import gzip as _gzip
+    import shutil
+
+    import pytest as _pytest
+
+    from strainer2_tpu.pipeline.detect import run_detect
+
+    # truncate PE2: decompress, keep the first half of the reads
+    import strainer2_tpu.io.fastx as fastx
+
+    pe1 = "data/target_PE1.fasta.gz"
+    pe2 = "data/target_PE2.fasta.gz"
+    short2 = tmp_path / "short_PE2.fasta"
+    recs = list(fastx.read_fastx(pe2))
+    with open(short2, "wb") as f:
+        for i, rec in enumerate(recs[: len(recs) // 2]):
+            f.write(b">r%d\n" % i + rec.seq + b"\n")
+    good_se = "data/target_SE.fastq"
+    batch = tmp_path / "targets_pe2.txt"
+    batch.write_text(
+        f"SE\t{good_se}\nPE\t{pe1}\t{short2}\nSE\t{good_se}\n"
+    )
+
+    results = {}
+    for threads in ("1", "4"):
+        monkeypatch.setenv("STRAINER2_DETECT_THREADS", threads)
+        hits = str(tmp_path / f"hits_{threads}.gz")
+        out = _Out()
+        with _pytest.raises(SystemExit) as exc:
+            run_detect(
+                "data/strainA.fna.gz", "expected/scrubbed_m05.txt", hits,
+                stdout=out, batch_list=str(batch),
+            )
+        with _gzip.open(hits, "rb") as f:
+            results[threads] = (exc.value.code, f.read(), capsys.readouterr().err)
+    assert results["1"][0] == results["4"][0] == 1
+    assert results["1"][1] == results["4"][1], "payload differs"
+    # the failing sample's partial rows made it out on both paths
+    assert results["1"][1].count(b"\n") > 4  # more than the SE summary lines
+    assert "reached end of PE2" in results["4"][2]
+    assert results["1"][2] == results["4"][2]

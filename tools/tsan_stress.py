@@ -6,8 +6,8 @@ STRAINER2_NATIVE_LIB + LD_PRELOAD=libtsan).  Exercises every concurrent
 shape the production pipelines use — deliberately jax-free so TSan sees
 only the host plane:
 
-1. the 2-thread bucket-table build (s2_build_bucket splits the bucket
-   range across threads; strainer2_host.cc),
+1. the multi-thread bucket-table build (s2_build_bucket splits the
+   bucket range across up to 8 threads; strainer2_host.cc),
 2. the scrub table-writer overlap: main thread formats rows natively
    (GIL released) while a writer thread drains blobs to disk
    (pipeline/scrub_count.py:301),
@@ -18,7 +18,7 @@ only the host plane:
    multi-strain pipelines' shared-scan shape),
 5. concurrent per-sample classify streams + read extractors over one
    shared classify table (sample-parallel detection,
-   pipeline/detect.py::_quantify_samples_parallel).
+   pipeline/detect.py::_run_sample_pool).
 """
 
 import os
@@ -51,7 +51,7 @@ def stress_bucket_build(rng) -> None:
         assert out is not None and out != "retry"
         table, slots = out
         assert slots.shape[0] == codes.size
-    print("bucket build (2-thread): ok")
+    print("bucket build (multi-thread): ok")
 
 
 def stress_writer_overlap(rng, tmp) -> None:
