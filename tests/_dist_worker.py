@@ -41,9 +41,11 @@ def main() -> None:
         # full run_scrub_count in SPMD mode: every process counts its
         # partition; rank 0 writes the table
         import io
+        import time
 
         from strainer2_tpu.pipeline.scrub_count import run_scrub_count
 
+        t0 = time.time()
         out = io.StringIO()
         run_scrub_count(
             os.path.join(workdir, "genome.fa"),
@@ -56,6 +58,8 @@ def main() -> None:
         )
         with open(os.path.join(workdir, f"table_{pid}.tsv"), "w") as f:
             f.write(out.getvalue())
+        with open(os.path.join(workdir, f"time_{pid}.txt"), "w") as f:
+            f.write(f"{time.time() - t0}\n")
         return
 
     if mode == "fused":
