@@ -145,6 +145,21 @@ def run_pipeline(
     with stage("fused.index_build"):
         index = StrainIndex.from_fasta(r_file, engine, cfg.rows, cfg.row_len)
 
+    # overlap the djb2 row-order replay with the panel scans (needs only
+    # the index; consumed by the counts writer and the filter)
+    import threading
+
+    order_box: list = []
+
+    def _order_bg():
+        try:
+            order_box.append(reference_row_order(index.codes, index.k))
+        except BaseException as e:  # surfaced at join
+            order_box.append(e)
+
+    order_thread = threading.Thread(target=_order_bg, name="fused-row-order")
+    order_thread.start()
+
     # ---- stage 1: panel counting (one shared index) ----
     # multi-host SPMD (same contract as run_scrub_count): with
     # jax.distributed initialized, ranks count partitioned shares of each
@@ -171,9 +186,13 @@ def run_pipeline(
         if col_drug is not None:
             col_drug = merge_across_hosts(col_drug)
         if pidx != 0:
+            order_thread.join()
             return paths  # rank 0 owns the downstream stages + artifacts
 
-    order = reference_row_order(index.codes, index.k)
+    order_thread.join()
+    if order_box and isinstance(order_box[0], BaseException):
+        raise order_box[0]
+    order = order_box[0]
     # The counts artifact is observability output — no later fused stage
     # reads it (filter runs on the in-memory columns) — so its gzip write
     # overlaps the filter/detect/coverage stages on a background thread

@@ -396,6 +396,23 @@ def run_scrub_count(
             checkpoint_dir = os.path.join(checkpoint_dir, f"rank{pidx}")
         ckpt = ScrubCheckpoint(checkpoint_dir)
 
+    # the djb2 row-order replay needs only the index: overlap it with the
+    # panel scans (it's ~0.5s of pure CPU at strain scale; the count pool
+    # caps at 8 threads so production hosts have spare cores)
+    order_box: list = []
+    order_thread = None
+    if cfg.reference_order and (pcount == 1 or pidx == 0):
+        import threading
+
+        def _order_bg():
+            try:
+                order_box.append(reference_row_order(index.codes, index.k))
+            except BaseException as e:  # surfaced at join
+                order_box.append(e)
+
+        order_thread = threading.Thread(target=_order_bg, name="scrub-row-order")
+        order_thread.start()
+
     col_pan = _count_panel(engine, index, a_list, cfg, progress,
                            column=COL_PANGENOME, checkpoint=ckpt,
                            partition=partition)
@@ -416,6 +433,13 @@ def run_scrub_count(
         if pidx != 0:
             return index
 
+    order = None
+    if order_thread is not None:
+        order_thread.join()
+        if order_box and isinstance(order_box[0], BaseException):
+            raise order_box[0]
+        order = order_box[0] if order_box else None
+
     with stage("scrub.write_table", items=index.num_kmers):
         write_scrub_table(
             out,
@@ -424,6 +448,7 @@ def run_scrub_count(
             col_meta,
             col_drug,
             reference_order=cfg.reference_order,
+            order=order,
         )
     return index
 
