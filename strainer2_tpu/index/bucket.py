@@ -7,8 +7,14 @@ bucket layout exploits this: one hash selects a bucket row that carries
 all resolve from a single gathered row — one serialized access per query
 instead of the cuckoo path's four plane gathers.
 
-Row layout, (num_buckets, 64) uint32:
-    [ 16 x key_hi | 16 x key_lo | 16 x meta | 16 x pad ]
+Row layout, (num_buckets, row_width) uint32 (row_width defaults to 64):
+    [ 16 x key_hi | 16 x key_lo | 16 x meta | 16 x meta | ... ]
+i.e. two key blocks followed by (row_width - 32) / 16 meta blocks of 32
+bits per key each.  The default 64-lane row carries 2 meta blocks (64
+meta bits/key, the 32-strain detection layout); wider rows carry more
+meta blocks for the same single serialized gather — slice width is
+nearly free on v5e (docs/PERFORMANCE.md), which is what makes >32-strain
+single-pass detection pay.
 Empty cells hold 0xFFFFFFFF in both key planes (impossible for k <= 31).
 slot id of bucket b, cell j = b * 16 + j; count buffers are (B*16 + 1,)
 with the trailing cell as the scatter drop target.
@@ -66,16 +72,45 @@ class BucketTable:
         bits per key: lanes 32:48 = lo word, 48:64 = hi word).  Resolved
         together by ops.lookup.bucket_lookup_wide from the same single
         gathered row — the 32-strain-per-pass layout."""
-        out = self.with_meta(per_slot_lo)
-        out[:, 48:64] = (
-            np.asarray(per_slot_hi, dtype=np.uint32).reshape(-1, KEYS_PER_BUCKET)
-        )
+        return self.with_meta_words([per_slot_lo, per_slot_hi])
+
+    @property
+    def meta_blocks(self) -> int:
+        """Number of 16-lane meta blocks the row layout carries."""
+        return (self.table.shape[1] - 32) // KEYS_PER_BUCKET
+
+    def with_meta_words(self, per_slot_words: "list[np.ndarray]") -> np.ndarray:
+        """Copy of the row table with the first len(words) meta blocks
+        filled from slot-indexed uint32 arrays (word j -> lanes
+        32+16j : 48+16j).  All words of the matched key resolve from the
+        same single gathered row (ops.lookup.bucket_lookup_words) — the
+        >32-strain-per-pass layout packs 2 bits per strain across as many
+        words as the row width allows (16 strains per word)."""
+        if len(per_slot_words) > self.meta_blocks:
+            raise ValueError(
+                f"{len(per_slot_words)} meta words > {self.meta_blocks} "
+                f"blocks in a {self.table.shape[1]}-lane row"
+            )
+        out = self.table.copy()
+        for j, w in enumerate(per_slot_words):
+            lo = 32 + 16 * j
+            out[:, lo : lo + 16] = (
+                np.asarray(w, dtype=np.uint32).reshape(-1, KEYS_PER_BUCKET)
+            )
         return out
 
 
-def build_bucket_table(codes: np.ndarray, k: int, h_bits: int | None = None) -> BucketTable:
-    """Vectorized bucket placement for unique uint64 ``codes``."""
+def build_bucket_table(
+    codes: np.ndarray, k: int, h_bits: int | None = None, row_width: int = ROW_WIDTH
+) -> BucketTable:
+    """Vectorized bucket placement for unique uint64 ``codes``.
+
+    row_width (a multiple of 16, >= 64) sets how many 16-lane meta blocks
+    the rows carry: (row_width - 32) // 16 blocks = 16 strains each for
+    multi-strain passes; the default 64-lane row carries 2."""
     codes = np.asarray(codes, dtype=np.uint64)
+    if row_width < 64 or row_width % KEYS_PER_BUCKET:
+        raise ValueError(f"row_width must be a multiple of 16 >= 64, got {row_width}")
     n = codes.shape[0]
     if h_bits is None:
         # mean bucket load ~<= 3.3 => overflow probability ~1e-8 per bucket
@@ -86,7 +121,7 @@ def build_bucket_table(codes: np.ndarray, k: int, h_bits: int | None = None) -> 
     hi, lo = split_code64_np(codes, k)
     for attempt in range(_MAX_SALT_ATTEMPTS):
         salt = attempt * 0x9E3779B9 & 0xFFFFFFFF
-        native = build_bucket_native(codes, k, h_bits, salt)
+        native = build_bucket_native(codes, k, h_bits, salt, row_width)
         if native is not None:
             if native == "retry":
                 if attempt % 4 == 3:
@@ -108,14 +143,13 @@ def build_bucket_table(codes: np.ndarray, k: int, h_bits: int | None = None) -> 
         slot_of_key = np.empty(n, dtype=np.int32)
         slot_of_key[order] = (bucket[order] * KEYS_PER_BUCKET + cell).astype(np.int32)
 
-        table = np.full((1 << h_bits, ROW_WIDTH), EMPTY, dtype=np.uint32)
+        table = np.full((1 << h_bits, row_width), EMPTY, dtype=np.uint32)
         flat_hi = table[:, 0:16].reshape(-1)
         flat_lo = table[:, 16:32].reshape(-1)
         flat_hi[slot_of_key] = hi
         flat_lo[slot_of_key] = lo
         table[:, 0:16] = flat_hi.reshape(-1, 16)
         table[:, 16:32] = flat_lo.reshape(-1, 16)
-        table[:, 32:48] = 0
-        table[:, 48:64] = 0
+        table[:, 32:] = 0
         return BucketTable(table, slot_of_key, h_bits, salt)
     raise BucketBuildError(f"bucket table build failed for n={n}")

@@ -85,6 +85,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
             ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.s2_build_bucket_w.restype = ctypes.c_int
+        lib.s2_build_bucket_w.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
         lib.s2_unique_encounter.restype = ctypes.c_longlong
         lib.s2_unique_encounter.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
@@ -109,6 +114,10 @@ def _load():
         lib.s2_count_build2.restype = ctypes.c_void_p
         lib.s2_count_build2.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+        ]
+        lib.s2_count_build_multi.restype = ctypes.c_void_p
+        lib.s2_count_build_multi.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
         ]
         lib.s2_count_file.restype = ctypes.c_longlong
         lib.s2_count_file.argtypes = [
@@ -337,18 +346,19 @@ def unique_encounter_native(codes: np.ndarray):
     return out_codes[:m].copy(), out_counts[:m].copy()
 
 
-def build_bucket_native(codes: np.ndarray, k: int, h_bits: int, salt: int):
-    """(table (2**h_bits, 64) uint32, slot_of_key int32), "retry" on bucket
-    overflow, or None when the library is unavailable."""
+def build_bucket_native(codes: np.ndarray, k: int, h_bits: int, salt: int,
+                        row_width: int = 64):
+    """(table (2**h_bits, row_width) uint32, slot_of_key int32), "retry" on
+    bucket overflow, or None when the library is unavailable."""
     lib = _load()
     if lib is None:
         return None
     codes = np.ascontiguousarray(codes, dtype=np.uint64)
-    table = np.empty(((1 << h_bits), 64), dtype=np.uint32)
+    table = np.empty(((1 << h_bits), row_width), dtype=np.uint32)
     slot_of_key = np.empty(codes.shape[0], dtype=np.int32)
-    rc = lib.s2_build_bucket(
+    rc = lib.s2_build_bucket_w(
         codes.ctypes.data, codes.shape[0], k, h_bits, salt,
-        table.ctypes.data, slot_of_key.ctypes.data,
+        table.ctypes.data, slot_of_key.ctypes.data, row_width,
     )
     if rc != 0:
         return "retry"
@@ -435,9 +445,12 @@ class NativeClassifier:
     per-k-mer class (NON_INFORMATIVE/INFORMATIVE) as the hash value."""
 
     def __init__(self, codes: np.ndarray, kmer_type: np.ndarray, k: int,
-                 values_hi: np.ndarray | None = None):
+                 values_hi: np.ndarray | None = None,
+                 extra_words: "list[np.ndarray] | None" = None):
         """values_hi (optional): second 32-bit value word per key —
-        strains 16..31 of the 64-bit multi-strain meta (32-per-pass)."""
+        strains 16..31 of the multi-strain meta.  extra_words (optional):
+        value words 2+ for >32-strain passes (16 strains per word,
+        s2_count_build_multi side array)."""
         lib = _load()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -445,7 +458,19 @@ class NativeClassifier:
         self.k = k
         codes = np.ascontiguousarray(codes, dtype=np.uint64)
         values = np.ascontiguousarray(kmer_type, dtype=np.int32)
-        if values_hi is None:
+        if extra_words:
+            n = codes.shape[0]
+            words = np.ascontiguousarray(
+                np.stack(
+                    [values, np.zeros(n, np.int32) if values_hi is None
+                     else values_hi] + list(extra_words)
+                ),
+                dtype=np.int32,
+            )
+            self._h = lib.s2_count_build_multi(
+                codes.ctypes.data, words.ctypes.data, n, words.shape[0]
+            )
+        elif values_hi is None:
             self._h = lib.s2_count_build(
                 codes.ctypes.data, values.ctypes.data, codes.shape[0]
             )

@@ -949,21 +949,25 @@ long long s2_unique_encounter(const uint64_t* codes, long long n,
 
 extern "C" {
 
-// table: (2**h_bits, 64) uint32 pre-zeroed EXCEPT caller need not init;
-// returns 0 ok, -1 = some bucket overflowed 16 keys (caller retries).
+// table: (2**h_bits, row_width) uint32 pre-zeroed EXCEPT caller need not
+// init; returns 0 ok, -1 = some bucket overflowed 16 keys (caller retries).
+// row_width >= 64: lanes 0:32 hold the two key blocks, 32:row_width the
+// meta blocks (strainer2_tpu/index/bucket.py layout).
 //
 // The table is large (256 B/row at ~20% occupancy), so construction is
 // bandwidth-bound: hugepage-advise the range, then split the BUCKET space
 // across threads — each thread initializes its half and inserts only the
 // keys hashing into it (hashing is cheap next to the random row writes, so
 // re-hashing all keys per thread costs less than any synchronization).
-int s2_build_bucket(const uint64_t* codes, long long n, int k, int h_bits,
-                    uint32_t salt, uint32_t* table, int32_t* slot_of_key) {
+int s2_build_bucket_w(const uint64_t* codes, long long n, int k, int h_bits,
+                      uint32_t salt, uint32_t* table, int32_t* slot_of_key,
+                      int row_width) {
   const long long b_count = 1LL << h_bits;
+  const long long rw = row_width;
   const int n_lo = k < 16 ? k : 16;
   {
     uintptr_t lo_addr = ((uintptr_t)table + 4095) & ~(uintptr_t)4095;
-    uintptr_t hi_addr = ((uintptr_t)(table + b_count * 64)) & ~(uintptr_t)4095;
+    uintptr_t hi_addr = ((uintptr_t)(table + b_count * rw)) & ~(uintptr_t)4095;
     if (hi_addr > lo_addr)
       madvise((void*)lo_addr, hi_addr - lo_addr, MADV_HUGEPAGE);
   }
@@ -971,9 +975,9 @@ int s2_build_bucket(const uint64_t* codes, long long n, int k, int h_bits,
   std::atomic<int> overflow{0};
   auto build_range = [&](long long b_lo, long long b_hi) {
     for (long long b = b_lo; b < b_hi; ++b) {
-      uint32_t* row = table + b * 64;
+      uint32_t* row = table + b * rw;
       for (int j = 0; j < 32; ++j) row[j] = 0xFFFFFFFFu;
-      for (int j = 32; j < 64; ++j) row[j] = 0;
+      for (long long j = 32; j < rw; ++j) row[j] = 0;
     }
     constexpr long long kAhead = 12;
     for (long long i = 0; i < n; ++i) {
@@ -986,7 +990,7 @@ int s2_build_bucket(const uint64_t* codes, long long n, int k, int h_bits,
         uint64_t c2 = codes[i + kAhead];
         uint32_t lo2 = (uint32_t)(c2 & ((2 * n_lo < 64) ? ((1ULL << (2 * n_lo)) - 1) : ~0ULL));
         uint32_t hi2 = (uint32_t)(c2 >> (2 * n_lo));
-        __builtin_prefetch(table + cuckoo_slot(hi2 ^ salt, lo2, h_bits, 0) * 64, 1, 1);
+        __builtin_prefetch(table + cuckoo_slot(hi2 ^ salt, lo2, h_bits, 0) * rw, 1, 1);
       }
       uint8_t cell = fill[(size_t)b];
       if (cell >= 16) {
@@ -994,7 +998,7 @@ int s2_build_bucket(const uint64_t* codes, long long n, int k, int h_bits,
         return;
       }
       fill[(size_t)b] = cell + 1;
-      uint32_t* row = table + b * 64;
+      uint32_t* row = table + b * rw;
       row[cell] = hi;
       row[16 + cell] = lo;
       slot_of_key[i] = (int32_t)(b * 16 + cell);
@@ -1020,6 +1024,11 @@ int s2_build_bucket(const uint64_t* codes, long long n, int k, int h_bits,
   return overflow.load() ? -1 : 0;
 }
 
+int s2_build_bucket(const uint64_t* codes, long long n, int k, int h_bits,
+                    uint32_t salt, uint32_t* table, int32_t* slot_of_key) {
+  return s2_build_bucket_w(codes, n, k, h_bits, salt, table, slot_of_key, 64);
+}
+
 }  // extern "C"
 
 // ---- native panel counting (CPU fast path) ----------------------------------
@@ -1043,7 +1052,14 @@ struct CountTable {
   size_t cap;
   int bits;
   int32_t zero_slot;  // slot for the literal key 0 (generic-input safety)
+  // meta words 2+ for >32-strain passes (2 strains' bits land in Rec.slot
+  // and Rec.pad; the rest live here, cap-major: extra[p * extra_words + w])
+  uint32_t* extra = nullptr;
+  size_t extra_bytes = 0;
+  int extra_words = 0;
 };
+
+void s2_count_free(void* th);
 
 // values_hi (optional, nullable): second 32-bit value word per key,
 // stored in the otherwise-padding Rec field — carries strains 16..31 of
@@ -1098,6 +1114,44 @@ void* s2_count_build2(const uint64_t* codes, const int32_t* values_lo,
   return s2_count_build_impl(codes, values_lo, values_hi, n);
 }
 
+// n_words >= 1 value words per key, passed planar: words[w * n + i] is
+// word w of key i.  Words 0/1 land in Rec.slot/Rec.pad (the cache-resident
+// fast pair); words 2+ go to the side array — the >32-strain-per-pass
+// meta layout (strainer2_tpu/pipeline/multi_detect.py, 16 strains/word).
+void* s2_count_build_multi(const uint64_t* codes, const int32_t* words,
+                           long long n, int n_words) {
+  auto* t = static_cast<CountTable*>(s2_count_build_impl(
+      codes, words, n_words >= 2 ? words + n : nullptr, n));
+  if (!t || n_words <= 2) return t;
+  const int ew = n_words - 2;
+  t->extra_words = ew;
+  t->extra_bytes = t->cap * (size_t)ew * sizeof(uint32_t);
+  void* mem = mmap(nullptr, t->extra_bytes, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (mem == MAP_FAILED) {
+    s2_count_free(t);
+    return nullptr;
+  }
+  madvise(mem, t->extra_bytes, MADV_HUGEPAGE);
+  memset(mem, 0, t->extra_bytes);
+  t->extra = static_cast<uint32_t*>(mem);
+  // second pass: re-probe each key to its rec position, fill its words
+  const int bits = t->bits;
+  const size_t mask = t->cap - 1;
+  const auto hash = [bits](uint64_t c) {
+    return (size_t)((c * 0x9E3779B97F4A7C15ULL) >> (64 - bits));
+  };
+  for (long long i = 0; i < n; ++i) {
+    const uint64_t c = codes[i];
+    if (c == 0) continue;
+    size_t p = hash(c);
+    while (t->recs[p].code != c) p = (p + 1) & mask;
+    for (int w = 0; w < ew; ++w)
+      t->extra[p * (size_t)ew + w] = (uint32_t)words[(2 + w) * n + i];
+  }
+  return t;
+}
+
 // Scan one FASTA/FASTQ(.gz) file, counting hits into counts[slot].
 // Returns the number of valid windows evaluated, or -1 on I/O error.
 long long s2_count_file(void* th, const char* path, int k, uint32_t* counts) {
@@ -1146,6 +1200,7 @@ long long s2_count_file(void* th, const char* path, int k, uint32_t* counts) {
 void s2_count_free(void* th) {
   auto* t = static_cast<CountTable*>(th);
   if (t) {
+    if (t->extra) munmap(t->extra, t->extra_bytes);
     munmap(t->recs, t->bytes);
     delete t;
   }
@@ -1402,9 +1457,18 @@ static void classify_one_read_multi(CountTable* t, const std::vector<uint8_t>& s
         tot[s] += (mlo >> (2 * s)) & 1u;
         inf[s] += (mlo >> (2 * s + 1)) & 1u;
       }
-      for (int s = 16; s < n_strains; ++s) {
+      const int n_hi = n_strains < 32 ? n_strains : 32;
+      for (int s = 16; s < n_hi; ++s) {
         tot[s] += (mhi >> (2 * (s - 16))) & 1u;
         inf[s] += (mhi >> (2 * (s - 16) + 1)) & 1u;
+      }
+      // strains 32+ ride the side words (s2_count_build_multi)
+      for (int s = 32; s < n_strains; ++s) {
+        const uint32_t w =
+            t->extra[p * (size_t)t->extra_words + (s - 32) / 16];
+        const int sh = 2 * ((s - 32) % 16);
+        tot[s] += (w >> sh) & 1u;
+        inf[s] += (w >> (sh + 1)) & 1u;
       }
     }
   }

@@ -30,6 +30,7 @@ __all__ = [
     "cuckoo_lookup",
     "bucket_lookup",
     "bucket_lookup_wide",
+    "bucket_lookup_words",
     "sorted_lookup",
     "accumulate_counts",
 ]
@@ -173,15 +174,37 @@ def bucket_lookup_wide(
     (2 bits each) at the one-gather cost.  Returns (found, slot, meta_lo,
     meta_hi) with shapes of qhi.
     """
+    found, slot, words = bucket_lookup_words(rows, h_bits, salt, qhi, qlo, 2)
+    return found, slot, words[0], words[1]
+
+
+def bucket_lookup_words(
+    rows: jax.Array,  # (num_buckets, 32 + 16*W) uint32 — index/bucket.py layout
+    h_bits: int,
+    salt: int,
+    qhi: jax.Array,
+    qlo: jax.Array,
+    n_words: int,
+):
+    """bucket_lookup returning the first ``n_words`` meta blocks.
+
+    Slice width is nearly free next to the serialized per-index access
+    (docs/PERFORMANCE.md), so a wider row trades ~zero extra gather cost
+    for 32 more meta bits per key per block — the >32-strain-per-pass
+    layout (16 strains of 2 bits per word).  Returns
+    (found, slot, [meta_word_0, ...]) with shapes of qhi.
+    """
+    if n_words > (rows.shape[1] - 32) // 16:
+        raise ValueError(
+            f"{n_words} meta words > {(rows.shape[1] - 32) // 16} blocks "
+            f"in a {rows.shape[1]}-lane row"
+        )
     shape = qhi.shape
     eq, found, slot, row = _bucket_probe(
         rows, h_bits, salt, qhi.reshape(-1), qlo.reshape(-1)
     )
-    meta_lo = _meta_block(eq, row, slice(32, 48))
-    meta_hi = _meta_block(eq, row, slice(48, 64))
-    return (
-        found.reshape(shape),
-        slot.reshape(shape),
-        meta_lo.reshape(shape),
-        meta_hi.reshape(shape),
-    )
+    words = [
+        _meta_block(eq, row, slice(32 + 16 * j, 48 + 16 * j)).reshape(shape)
+        for j in range(n_words)
+    ]
+    return found.reshape(shape), slot.reshape(shape), words

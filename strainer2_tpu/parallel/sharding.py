@@ -233,9 +233,11 @@ class ShardedKmerEngine:
         return hit, slot_loc, meta
 
     @staticmethod
-    def _bucket_local_lookup_wide(rows_loc, qhi, qlo, h_bits, salt, shard_buckets):
-        """_bucket_local_lookup returning BOTH 16-lane meta blocks (64
-        meta bits/key — the 32-strain-per-pass layout, BucketTable.with_meta2)."""
+    def _bucket_local_lookup_words(rows_loc, qhi, qlo, h_bits, salt,
+                                   shard_buckets, n_words):
+        """_bucket_local_lookup returning the first n_words 16-lane meta
+        blocks (32 bits/key each — the >16-strain-per-pass layouts,
+        BucketTable.with_meta_words)."""
         from strainer2_tpu.index.hashing import cuckoo_slots as _slots
 
         shi = qhi ^ jnp.uint32(salt) if salt else qhi
@@ -246,19 +248,18 @@ class ShardedKmerEngine:
         row = rows_loc[jnp.where(mine, local, 0)]
         eq = (row[:, 0:16] == qhi[:, None]) & (row[:, 16:32] == qlo[:, None])
         hit = mine & eq.any(axis=1)
-        mlo = jnp.where(
-            hit,
-            jnp.sum(jnp.where(eq, row[:, 32:48], jnp.uint32(0)), axis=1,
-                    dtype=jnp.uint32),
-            0,
-        )
-        mhi = jnp.where(
-            hit,
-            jnp.sum(jnp.where(eq, row[:, 48:64], jnp.uint32(0)), axis=1,
-                    dtype=jnp.uint32),
-            0,
-        )
-        return hit, mlo, mhi
+        words = [
+            jnp.where(
+                hit,
+                jnp.sum(
+                    jnp.where(eq, row[:, 32 + 16 * j : 48 + 16 * j], jnp.uint32(0)),
+                    axis=1, dtype=jnp.uint32,
+                ),
+                0,
+            )
+            for j in range(n_words)
+        ]
+        return hit, words
 
     @staticmethod
     def _classify_multi_body_bucket(rows_loc, bases_loc, boundaries, *, k, h_bits,
@@ -275,18 +276,21 @@ class ShardedKmerEngine:
         qlo = win.lo.reshape(-1)
         valid = win.valid.reshape(-1)
         if n_strains > 16:
-            hit, mlo, mhi = ShardedKmerEngine._bucket_local_lookup_wide(
-                rows_loc, qhi, qlo, h_bits, salt, shard_buckets
+            n_words = -(-n_strains // 16)
+            hit, words = ShardedKmerEngine._bucket_local_lookup_words(
+                rows_loc, qhi, qlo, h_bits, salt, shard_buckets, n_words
             )
             keep = hit & valid
-            # exactly one shard owns each key: psum reconstructs globals
-            mlo_g = jax.lax.psum(jnp.where(keep, mlo, 0), "index")
-            mhi_g = jax.lax.psum(jnp.where(keep, mhi, 0), "index")
-            p_lo, i_lo = _expand_strain_bits(mlo_g, 16, jnp)
-            p_hi, i_hi = _expand_strain_bits(mhi_g, n_strains - 16, jnp)
-            present = jnp.concatenate([p_lo, p_hi], axis=1)
-            informative = jnp.concatenate([i_lo, i_hi], axis=1)
-            m_g = mlo_g  # shape carrier for the cumsum below
+            ps, infs = [], []
+            for j, w in enumerate(words):
+                # exactly one shard owns each key: psum reconstructs globals
+                w_g = jax.lax.psum(jnp.where(keep, w, 0), "index")
+                p_j, i_j = _expand_strain_bits(w_g, min(16, n_strains - 16 * j), jnp)
+                ps.append(p_j)
+                infs.append(i_j)
+            present = jnp.concatenate(ps, axis=1)
+            informative = jnp.concatenate(infs, axis=1)
+            m_g = w_g  # shape carrier for the cumsum below
         else:
             hit, _, meta = ShardedKmerEngine._bucket_local_lookup(
                 rows_loc, qhi, qlo, h_bits, salt, shard_buckets

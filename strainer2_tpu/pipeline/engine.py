@@ -27,7 +27,14 @@ def _maybe_enable_compile_cache() -> None:
     STRAINER2_COMPILE_CACHE overrides the directory, =0/empty disables."""
     import os
 
+    import jax
+
     cache = os.environ.get("STRAINER2_COMPILE_CACHE")
+    if cache is None and jax.default_backend() == "cpu":
+        # CPU AOT artifacts embed the compile host's CPU features and can
+        # SIGILL when the cache directory moves between machines; CPU
+        # compiles are fast enough that the cache only pays on TPU.
+        return
     if cache is None:
         cache = os.path.join(
             os.path.expanduser("~"), ".cache", "strainer2_tpu", "xla"
@@ -37,8 +44,6 @@ def _maybe_enable_compile_cache() -> None:
         except OSError:
             cache = ""
     if cache and cache != "0":
-        import jax
-
         try:
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

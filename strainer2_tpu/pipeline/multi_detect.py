@@ -2,12 +2,13 @@
 
 The reference scores one strain per process and re-reads every target
 metagenome once per strain (Snakemake fan-out, SURVEY.md §2.7).  Here up
-to 32 strains share one union membership table: two bits per strain
-(present, informative) pack across the bucket row's TWO 16-lane meta
-blocks (64 meta bits per k-mer, resolved by the same single gather —
-ops.lookup.bucket_lookup_wide), so a single stream pass over the targets
-yields every strain's per-read total/informative counts — the target
-data is read and canonicalized once instead of S times.
+to 96 strains share one union membership table: two bits per strain
+(present, informative) pack across the bucket row's 16-lane meta blocks
+(16 strains per block, ceil(S/16) blocks per row, all resolved by the
+same single gather — ops.lookup.bucket_lookup_words), so a single stream
+pass over the targets yields every strain's per-read total/informative
+counts — the target data is read and canonicalized once instead of S
+times.
 
 Outputs are per-strain kmer_hits files byte-identical to running the
 single-strain detector per strain (verified in tests/test_multi_detect.py).
@@ -38,9 +39,12 @@ from strainer2_tpu.pipeline.engine import KmerEngine
 
 __all__ = ["MultiStrainDetector", "MAX_STRAINS_PER_PASS"]
 
-MAX_STRAINS_PER_PASS = 32  # 2 meta bits per strain across the row's TWO
-# 16-lane meta blocks (64 bits/key; ops.lookup.bucket_lookup_wide) — the
-# same single gathered row answers all 32 strains
+MAX_STRAINS_PER_PASS = 96  # 2 meta bits per strain, 16 strains per 16-lane
+# meta block; a 96-strain pass uses 128-lane rows (6 meta blocks, 192 meta
+# bits/key; ops.lookup.bucket_lookup_words) — the same single gathered row
+# answers all 96 strains, because slice width is nearly free next to the
+# serialized per-index access (docs/PERFORMANCE.md).  The cap is where the
+# per-window expand+cumsum vector work stops amortizing on v5e.
 
 
 @dataclass
@@ -122,7 +126,13 @@ class MultiStrainDetector:
             per_strain_types.append(det.kmer_type)
 
         union = np.unique(np.concatenate(per_strain_codes))
-        self.table = build_bucket_table(union, k)
+        # 16 strains (2 bits each) per 32-bit meta word; the row carries
+        # ceil(S/16) meta blocks (min 2 = the default 64-lane row), all
+        # resolved by the same single serialized gather
+        self._n_words = max(2, -(-len(strains) // 16))
+        self.table = build_bucket_table(
+            union, k, row_width=32 + 16 * self._n_words
+        )
 
         if background_list:
             # shared background counting: ONE panel scan over the union,
@@ -139,29 +149,26 @@ class MultiStrainDetector:
                     np.count_nonzero(types == INFORMATIVE_KMER)
                 )
 
-        # union table meta: bit 2s = strain s has this k-mer,
-        # bit 2s+1 = informative for strain s (64-bit word; strains 0-15
-        # in the low half, 16-31 in the high half)
-        meta = np.zeros(union.shape[0], dtype=np.uint64)
+        # union table meta words: word s//16 bit 2*(s%16) = strain s has
+        # this k-mer, bit 2*(s%16)+1 = informative for strain s
+        meta_words = np.zeros((self._n_words, union.shape[0]), dtype=np.uint32)
         for s, (codes, types) in enumerate(zip(per_strain_codes, per_strain_types)):
             pos = np.searchsorted(union, codes)
-            meta[pos] |= np.uint64(1 << (2 * s))
+            w, sh = s // 16, np.uint32(2 * (s % 16))
+            meta_words[w, pos] |= np.uint32(1) << sh
             inf = types == INFORMATIVE_KMER
-            meta[pos[inf]] |= np.uint64(1 << (2 * s + 1))
-        meta_lo = (meta & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        meta_hi = (meta >> np.uint64(32)).astype(np.uint32)
-        slots_lo = np.zeros(self.table.num_slots, dtype=np.uint32)
-        slots_hi = np.zeros(self.table.num_slots, dtype=np.uint32)
-        slots_lo[self.table.slot_of_key] = meta_lo
-        slots_hi[self.table.slot_of_key] = meta_hi
+            meta_words[w, pos[inf]] |= np.uint32(1) << (sh + np.uint32(1))
+        slot_words = np.zeros(
+            (self._n_words, self.table.num_slots), dtype=np.uint32
+        )
+        slot_words[:, self.table.slot_of_key] = meta_words
         self._union_codes = union  # native classifier inputs (CPU fast path)
-        self._union_meta_lo = meta_lo
-        self._union_meta_hi = meta_hi
+        self._union_meta_words = meta_words
 
         import jax
         import jax.numpy as jnp
 
-        self._rows_dev = jnp.asarray(self.table.with_meta2(slots_lo, slots_hi))
+        self._rows_dev = jnp.asarray(self.table.with_meta_words(list(slot_words)))
         self._classify = jax.jit(
             partial(
                 _classify_multi,
@@ -202,13 +209,17 @@ class MultiStrainDetector:
                     from strainer2_tpu.native import NativeClassifier
 
                     n_strains = len(self.states)
+                    words = self._union_meta_words
                     self._native_cls = NativeClassifier(
                         self._union_codes,
-                        self._union_meta_lo.view(np.int32),
+                        words[0].view(np.int32),
                         self.cfg.k,
                         values_hi=(
-                            self._union_meta_hi.view(np.int32)
-                            if n_strains > 16
+                            words[1].view(np.int32) if n_strains > 16 else None
+                        ),
+                        extra_words=(
+                            [w.view(np.int32) for w in words[2:]]
+                            if n_strains > 32
                             else None
                         ),
                     )
@@ -518,19 +529,28 @@ def _expand_strain_bits(m, n, jnp):
 def _classify_multi(rows, bases, boundaries, *, k, h_bits, salt, max_reads, n_strains):
     import jax.numpy as jnp
 
-    from strainer2_tpu.ops.lookup import bucket_lookup, bucket_lookup_wide
+    from strainer2_tpu.ops.lookup import bucket_lookup, bucket_lookup_words
     from strainer2_tpu.ops.packing import canonical_windows
 
     win = canonical_windows(jnp.asarray(bases), k)
     if n_strains > 16:
-        found, _, mlo, mhi = bucket_lookup_wide(rows, h_bits, salt, win.hi, win.lo)
-        hit = (found & win.valid).reshape(-1)
-        p_lo, i_lo = _expand_strain_bits(jnp.where(hit, mlo.reshape(-1), 0), 16, jnp)
-        p_hi, i_hi = _expand_strain_bits(
-            jnp.where(hit, mhi.reshape(-1), 0), n_strains - 16, jnp
+        # one serialized gather answers ceil(S/16) meta words of 16
+        # strains each (ops.lookup.bucket_lookup_words; slice width ~free)
+        n_words = -(-n_strains // 16)
+        found, _, words = bucket_lookup_words(
+            rows, h_bits, salt, win.hi, win.lo, n_words
         )
-        present = jnp.concatenate([p_lo, p_hi], axis=1)
-        informative = jnp.concatenate([i_lo, i_hi], axis=1)
+        hit = (found & win.valid).reshape(-1)
+        ps, infs = [], []
+        for j, w in enumerate(words):
+            n_j = min(16, n_strains - 16 * j)
+            p_j, i_j = _expand_strain_bits(
+                jnp.where(hit, w.reshape(-1), 0), n_j, jnp
+            )
+            ps.append(p_j)
+            infs.append(i_j)
+        present = jnp.concatenate(ps, axis=1)
+        informative = jnp.concatenate(infs, axis=1)
     else:
         found, _, meta = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
         hit = (found & win.valid).reshape(-1)

@@ -181,6 +181,82 @@ def test_multi_strain_wide_sharded_mesh_matches_unsharded(tmp_path):
             assert f.read() == base[i], f"strain {i} differs (mesh)"
 
 
+def _forty_strains(tmp_path):
+    """40 strains (> 32: meta words 2+ ride the native side array and the
+    wider 96-lane device rows) over the three mini genomes."""
+    genomes = ["data/strainA.fna.gz", "data/panel1.fna.gz", "data/panel2.fna"]
+    return [
+        (genomes[i % len(genomes)],
+         _informative_subset(tmp_path, genomes[i % len(genomes)], every=3 + i))
+        for i in range(40)
+    ]
+
+
+def test_multi_strain_xwide_pass_matches_single_runs(tmp_path):
+    """A 40-strain single pass (strains 32..39 live in meta word 2 — the
+    native CountTable side array / third 16-lane device meta block) is
+    byte-identical to 40 per-strain runs."""
+    from strainer2_tpu.pipeline.detect import run_detect
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    strains = _forty_strains(tmp_path)
+    singles = []
+    for i, (r, a) in enumerate(strains):
+        p = str(tmp_path / f"xsingle_{i}.gz")
+        run_detect(r, a, p, batch_list="data/targets.txt")
+        with gzip.open(p, "rb") as f:
+            singles.append(f.read())
+
+    det = MultiStrainDetector(strains)
+    assert det.table.table.shape[1] == 32 + 16 * 3  # 3 meta blocks
+    outs = [str(tmp_path / f"xmulti_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+    for i, p in enumerate(outs):
+        with gzip.open(p, "rb") as f:
+            assert f.read() == singles[i], f"strain {i} differs (native path)"
+
+
+def test_multi_strain_xwide_jit_path_matches_native(tmp_path, monkeypatch):
+    """Same 40-strain pass on the jit bucket_lookup_words path."""
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    strains = _forty_strains(tmp_path)
+    det = MultiStrainDetector(strains)
+    outs = [str(tmp_path / f"xnat_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+
+    monkeypatch.setenv("STRAINER2_NATIVE_COUNT", "0")
+    det_j = MultiStrainDetector(strains)
+    outs_j = [str(tmp_path / f"xjit_{i}.gz") for i in range(len(strains))]
+    det_j.quantify_all(outs_j, "data/targets.txt")
+    for i, (p, q) in enumerate(zip(outs, outs_j)):
+        with gzip.open(p, "rb") as f, gzip.open(q, "rb") as g:
+            assert f.read() == g.read(), f"strain {i} differs (jit vs native)"
+
+
+def test_multi_strain_xwide_sharded_mesh_matches_unsharded(tmp_path):
+    """36-strain sharded (EP over the mesh, 3 meta words) == single-device."""
+    from strainer2_tpu.pipeline.detect import DetectConfig
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    strains = _forty_strains(tmp_path)[:36]
+    det = MultiStrainDetector(strains)
+    outs = [str(tmp_path / f"xplain_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+    base = []
+    for p in outs:
+        with gzip.open(p, "rb") as f:
+            base.append(f.read())
+
+    det_m = MultiStrainDetector(strains, cfg=DetectConfig(mesh=(2, 4)))
+    assert det_m._sharded is not None
+    outs_m = [str(tmp_path / f"xmesh_{i}.gz") for i in range(len(strains))]
+    det_m.quantify_all(outs_m, "data/targets.txt")
+    for i, p in enumerate(outs_m):
+        with gzip.open(p, "rb") as f:
+            assert f.read() == base[i], f"strain {i} differs (mesh)"
+
+
 def test_multi_strain_parallel_samples_match_sequential(tmp_path, monkeypatch):
     """Sample-parallel multi-strain scoring (ordered per-strain buffers) is
     byte-identical to the sequential sample loop."""
