@@ -70,6 +70,7 @@ def main() -> None:
         bucket_lookup_words,
     )
     from strainer2_tpu.ops.packing import canonical_codes_np, canonical_windows
+    from strainer2_tpu.ops.segsum import boundary_strain_sums
 
     rng = np.random.default_rng(7)
 
@@ -158,43 +159,23 @@ def main() -> None:
         return (jnp.sum(tot) + jnp.sum(inf)).astype(jnp.uint32)
 
     def multi_body(rows, bi, _carry):
-        # mirror of pipeline/multi_detect._classify_multi
+        # mirror of pipeline/multi_detect._classify_multi (two-level
+        # chunked prefix, ops/segsum.py)
         win = canonical_windows(bi, K)
         found, _, meta = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
         hit = (found & win.valid).reshape(-1)
         m = jnp.where(hit, meta.reshape(-1), 0)
-        shifts = jnp.arange(N_STRAINS, dtype=jnp.uint32) * 2
-        present = ((m[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)
-        informative = ((m[:, None] >> (shifts[None, :] + 1)) & 1).astype(jnp.int32)
-        zero = jnp.zeros((1, N_STRAINS), dtype=jnp.int32)
-        cum_tot = jnp.concatenate([zero, jnp.cumsum(present, axis=0)])
-        cum_inf = jnp.concatenate([zero, jnp.cumsum(informative, axis=0)])
-        b0, b1 = boundaries_dev[:-1], boundaries_dev[1:]
-        tot = cum_tot[b1] - cum_tot[b0]
-        inf = cum_inf[b1] - cum_inf[b0]
+        tot, inf = boundary_strain_sums([m], boundaries_dev, N_STRAINS)
         return (jnp.sum(tot) + jnp.sum(inf)).astype(jnp.uint32)
-
-    def expand(m, n_strains):
-        shifts = jnp.arange(n_strains, dtype=jnp.uint32) * 2
-        present = ((m[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)
-        informative = ((m[:, None] >> (shifts[None, :] + 1)) & 1).astype(jnp.int32)
-        return present, informative
 
     def multi32_body(rows, bi, _carry):
         # mirror of the wide path in pipeline/multi_detect._classify_multi
         win = canonical_windows(bi, K)
         found, _, mlo, mhi = bucket_lookup_wide(rows, h_bits, salt, win.hi, win.lo)
         hit = (found & win.valid).reshape(-1)
-        p_lo, i_lo = expand(jnp.where(hit, mlo.reshape(-1), 0), 16)
-        p_hi, i_hi = expand(jnp.where(hit, mhi.reshape(-1), 0), N_STRAINS_WIDE - 16)
-        present = jnp.concatenate([p_lo, p_hi], axis=1)
-        informative = jnp.concatenate([i_lo, i_hi], axis=1)
-        zero = jnp.zeros((1, N_STRAINS_WIDE), dtype=jnp.int32)
-        cum_tot = jnp.concatenate([zero, jnp.cumsum(present, axis=0)])
-        cum_inf = jnp.concatenate([zero, jnp.cumsum(informative, axis=0)])
-        b0, b1 = boundaries_dev[:-1], boundaries_dev[1:]
-        tot = cum_tot[b1] - cum_tot[b0]
-        inf = cum_inf[b1] - cum_inf[b0]
+        masked = [jnp.where(hit, mlo.reshape(-1), 0),
+                  jnp.where(hit, mhi.reshape(-1), 0)]
+        tot, inf = boundary_strain_sums(masked, boundaries_dev, N_STRAINS_WIDE)
         return (jnp.sum(tot) + jnp.sum(inf)).astype(jnp.uint32)
 
     def multi96_body(rows, bi, _carry):
@@ -204,19 +185,8 @@ def main() -> None:
             rows, t96.h_bits, t96.salt, win.hi, win.lo, n_xwords
         )
         hit = (found & win.valid).reshape(-1)
-        ps, infs = [], []
-        for w in words:
-            p_j, i_j = expand(jnp.where(hit, w.reshape(-1), 0), 16)
-            ps.append(p_j)
-            infs.append(i_j)
-        present = jnp.concatenate(ps, axis=1)
-        informative = jnp.concatenate(infs, axis=1)
-        zero = jnp.zeros((1, N_STRAINS_XWIDE), dtype=jnp.int32)
-        cum_tot = jnp.concatenate([zero, jnp.cumsum(present, axis=0)])
-        cum_inf = jnp.concatenate([zero, jnp.cumsum(informative, axis=0)])
-        b0, b1 = boundaries_dev[:-1], boundaries_dev[1:]
-        tot = cum_tot[b1] - cum_tot[b0]
-        inf = cum_inf[b1] - cum_inf[b0]
+        masked = [jnp.where(hit, w.reshape(-1), 0) for w in words]
+        tot, inf = boundary_strain_sums(masked, boundaries_dev, N_STRAINS_XWIDE)
         return (jnp.sum(tot) + jnp.sum(inf)).astype(jnp.uint32)
 
     def make_chain(body, n, carry0):

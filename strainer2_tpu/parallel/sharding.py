@@ -269,7 +269,7 @@ class ShardedKmerEngine:
         Each key is owned by exactly one index shard, so a psum over 'index'
         reconstructs the global meta word; per-read sums come from the
         boundary cumsum restricted to this data shard's window range."""
-        from strainer2_tpu.pipeline.multi_detect import _expand_strain_bits
+        from strainer2_tpu.ops.segsum import boundary_strain_sums
 
         win = canonical_windows(bases_loc, k)
         qhi = win.hi.reshape(-1)
@@ -281,32 +281,23 @@ class ShardedKmerEngine:
                 rows_loc, qhi, qlo, h_bits, salt, shard_buckets, n_words
             )
             keep = hit & valid
-            ps, infs = [], []
-            for j, w in enumerate(words):
-                # exactly one shard owns each key: psum reconstructs globals
-                w_g = jax.lax.psum(jnp.where(keep, w, 0), "index")
-                p_j, i_j = _expand_strain_bits(w_g, min(16, n_strains - 16 * j), jnp)
-                ps.append(p_j)
-                infs.append(i_j)
-            present = jnp.concatenate(ps, axis=1)
-            informative = jnp.concatenate(infs, axis=1)
-            m_g = w_g  # shape carrier for the cumsum below
+            # exactly one shard owns each key: psum reconstructs globals
+            masked = [jax.lax.psum(jnp.where(keep, w, 0), "index") for w in words]
         else:
             hit, _, meta = ShardedKmerEngine._bucket_local_lookup(
                 rows_loc, qhi, qlo, h_bits, salt, shard_buckets
             )
             m = jnp.where(hit & valid, meta, 0)
-            m_g = jax.lax.psum(m, "index")  # exactly one shard owns each key
-            present, informative = _expand_strain_bits(m_g, n_strains, jnp)
+            masked = [jax.lax.psum(m, "index")]  # one shard owns each key
 
-        n_local = m_g.shape[0]
+        # per-read partials restricted to this data shard's window range:
+        # clipped boundary offsets are monotone in [0, n_local], which is
+        # all the two-level prefix needs (ops/segsum.py; bit-exact vs the
+        # full cumsum, tests/test_segsum.py)
+        n_local = masked[0].shape[0]
         off = jax.lax.axis_index("data") * n_local
-        zero = jnp.zeros((1, n_strains), dtype=jnp.int32)
-        cum_tot = jnp.concatenate([zero, jnp.cumsum(present, axis=0)])
-        cum_inf = jnp.concatenate([zero, jnp.cumsum(informative, axis=0)])
         b = jnp.clip(boundaries - off, 0, n_local)
-        tot = cum_tot[b[1:]] - cum_tot[b[:-1]]
-        inf = cum_inf[b[1:]] - cum_inf[b[:-1]]
+        tot, inf = boundary_strain_sums(masked, b, n_strains)
         return tot[None], inf[None]
 
     @staticmethod

@@ -519,7 +519,12 @@ class MultiStrainDetector:
 
 
 def _expand_strain_bits(m, n, jnp):
-    """(Q,) packed 2-bit-per-strain word -> (Q, n) present / informative."""
+    """(Q,) packed 2-bit-per-strain word -> (Q, n) present / informative.
+
+    Kept for the ablation tools (tools/bench_wide_row.py); the production
+    classify no longer materializes the (Q, n) planes — it goes through
+    ops/segsum.boundary_strain_sums.
+    """
     shifts = jnp.arange(n, dtype=jnp.uint32) * 2
     present = ((m[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)
     informative = ((m[:, None] >> (shifts[None, :] + 1)) & 1).astype(jnp.int32)
@@ -531,6 +536,7 @@ def _classify_multi(rows, bases, boundaries, *, k, h_bits, salt, max_reads, n_st
 
     from strainer2_tpu.ops.lookup import bucket_lookup, bucket_lookup_words
     from strainer2_tpu.ops.packing import canonical_windows
+    from strainer2_tpu.ops.segsum import boundary_strain_sums
 
     win = canonical_windows(jnp.asarray(bases), k)
     if n_strains > 16:
@@ -541,25 +547,13 @@ def _classify_multi(rows, bases, boundaries, *, k, h_bits, salt, max_reads, n_st
             rows, h_bits, salt, win.hi, win.lo, n_words
         )
         hit = (found & win.valid).reshape(-1)
-        ps, infs = [], []
-        for j, w in enumerate(words):
-            n_j = min(16, n_strains - 16 * j)
-            p_j, i_j = _expand_strain_bits(
-                jnp.where(hit, w.reshape(-1), 0), n_j, jnp
-            )
-            ps.append(p_j)
-            infs.append(i_j)
-        present = jnp.concatenate(ps, axis=1)
-        informative = jnp.concatenate(infs, axis=1)
+        masked = [jnp.where(hit, w.reshape(-1), 0) for w in words]
     else:
         found, _, meta = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
         hit = (found & win.valid).reshape(-1)
-        m = jnp.where(hit, meta.reshape(-1), 0)  # (Q,) packed strain bits
-        present, informative = _expand_strain_bits(m, n_strains, jnp)
+        masked = [jnp.where(hit, meta.reshape(-1), 0)]  # (Q,) packed bits
 
-    zero = jnp.zeros((1, n_strains), dtype=jnp.int32)
-    cum_tot = jnp.concatenate([zero, jnp.cumsum(present, axis=0)])
-    cum_inf = jnp.concatenate([zero, jnp.cumsum(informative, axis=0)])
-    b0 = boundaries[:-1]
-    b1 = boundaries[1:]
-    return cum_tot[b1] - cum_tot[b0], cum_inf[b1] - cum_inf[b0]
+    # per-read present/informative totals for all S strains without a
+    # Q-long cumsum: two-level chunked prefix (ops/segsum.py), bit-exact
+    # vs the full-cumsum path (tests/test_segsum.py)
+    return boundary_strain_sums(masked, boundaries, n_strains)

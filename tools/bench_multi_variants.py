@@ -14,6 +14,9 @@ the same 6.7M-key index / 128-lane rows:
   full_i8     — int8 expand, cumsum(dtype=int32): 4x less expand traffic
   full_fused  — ONE (Q, 2S) int8 expand + ONE int32 cumsum, present and
                 informative interleaved (decoded at the 513 boundaries)
+  full_chunked — two-level chunked prefix (ops/segsum.py): fused
+                expand+reduce to (Q/256, 2S) chunk sums, a 256x shorter
+                cumsum, and per-boundary intra-chunk correction
 
 All variants verify the same per-read totals (summed) so XLA cannot elide
 work.  LICM-proof marginal-cost timing as in bench.py.
@@ -42,7 +45,8 @@ def main() -> None:
     ap.add_argument("--strains", type=int, default=96)
     ap.add_argument("--kmers", type=int, default=INDEX_KMERS)
     ap.add_argument(
-        "--variants", default="gather,expand_only,full_i32,full_i8,full_fused",
+        "--variants",
+        default="gather,expand_only,full_i32,full_i8,full_fused,full_chunked",
         help="comma list; run one per process on a contended relay",
     )
     ap.add_argument("--long", type=int, default=N_LONG)
@@ -177,6 +181,18 @@ def main() -> None:
         seg = cum[b1] - cum[b0]  # (R, 2S)
         return (jnp.sum(seg[:, 0::2]) + jnp.sum(seg[:, 1::2])).astype(jnp.uint32)
 
+    def body_full_chunked(bi):
+        from strainer2_tpu.ops.segsum import boundary_strain_sums
+
+        hit, words = probe(bi)
+        masked = []
+        for j, w in enumerate(words):
+            if min(16, S - 16 * j) <= 0:
+                break
+            masked.append(jnp.where(hit, w, 0))
+        tot, inf = boundary_strain_sums(masked, boundaries_dev, S)
+        return (jnp.sum(tot) + jnp.sum(inf)).astype(jnp.uint32)
+
     def make_chain(body, n):
         @jax.jit
         def chain(b):
@@ -215,6 +231,7 @@ def main() -> None:
         "full_i32": body_full_i32,
         "full_i8": body_full_i8,
         "full_fused": body_full_fused,
+        "full_chunked": body_full_chunked,
     }
     sums = {}
     for name, body in bodies.items():
