@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DATAxINDEX device mesh for sharded classification (e.g. 4x2)")
     p.add_argument("--index-cache", default=None,
                    help="npz path to cache/reuse the strain k-mer index")
+    p.add_argument("--checkpoint", dest="checkpoint_dir", default=None,
+                   help="directory for sample-granular resume of -B batch "
+                        "runs (restart skips completed samples; output "
+                        "byte-identical)")
     p.add_argument("--rows", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("--row-len", type=int, default=None, help=argparse.SUPPRESS)
     return p
@@ -84,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
         background_list=args.background_list,
         cfg=cfg,
         index_cache=args.index_cache,
+        checkpoint_dir=args.checkpoint_dir,
     )
     return 0
 

@@ -863,6 +863,26 @@ void s2_close_scan(void* stream) {
 
 #include <algorithm>
 
+// Allocator for the big long-lived probe tables (unique-encounter hash,
+// CountTable, CompareSet).  Sequence matters twice over:
+// - memset BEFORE madvise: advising MADV_HUGEPAGE ahead of the first touch
+//   makes every fault allocate a huge page through synchronous direct
+//   compaction (THP defrag=madvise) — measured 0.3-11 s of stall for a
+//   537 MB table on a fragmented host vs ~0.35 s of plain 4 KB faults.
+//   Touch first at streaming bandwidth, then advise so khugepaged upgrades
+//   the mapping in the background: the probe loops still end up on huge
+//   pages (TLB-resident) without ever paying a fault-time stall.
+// - memset at all: faulting pages one random probe at a time measured
+//   ~4x slower cold than one linear populate pass.
+static void* s2_table_alloc(size_t bytes) {
+  void* mem = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (mem == MAP_FAILED) return MAP_FAILED;
+  memset(mem, 0, bytes);
+  madvise(mem, bytes, MADV_HUGEPAGE);
+  return mem;
+}
+
 extern "C" {
 
 // out_codes/out_counts must have capacity n.  Returns the number of unique
@@ -883,20 +903,12 @@ long long s2_unique_encounter(const uint64_t* codes, long long n,
     uint64_t code;
     int64_t idx;
   };
-  // Anonymous mmap + MADV_HUGEPAGE keeps the random-probe loop
-  // TLB-resident (4 KB pages from plain calloc cost a TLB miss per probe),
-  // and the sequential memset populates the mapping at streaming bandwidth
-  // — faulting pages one random probe at a time measured ~4x slower cold
-  // (same finding as the CompareSet table).
   // Empty sentinel is code == 0 — unreachable for canonical-max codes
   // (max(fwd, rc) == 0 needs both strands all-A AND all-T) — and the
   // literal key 0 is tracked out-of-band for generic (non-canonical) input.
   const size_t bytes = cap * sizeof(Slot);
-  void* mem = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
-                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  void* mem = s2_table_alloc(bytes);
   if (mem == MAP_FAILED) return -1;
-  madvise(mem, bytes, MADV_HUGEPAGE);
-  memset(mem, 0, bytes);
   Slot* slots = static_cast<Slot*>(mem);
   long long m = 0;
   long long zero_idx = -1;  // the one key the sentinel can't represent
@@ -965,12 +977,10 @@ int s2_build_bucket_w(const uint64_t* codes, long long n, int k, int h_bits,
   const long long b_count = 1LL << h_bits;
   const long long rw = row_width;
   const int n_lo = k < 16 ? k : 16;
-  {
-    uintptr_t lo_addr = ((uintptr_t)table + 4095) & ~(uintptr_t)4095;
-    uintptr_t hi_addr = ((uintptr_t)(table + b_count * rw)) & ~(uintptr_t)4095;
-    if (hi_addr > lo_addr)
-      madvise((void*)lo_addr, hi_addr - lo_addr, MADV_HUGEPAGE);
-  }
+  // No MADV_HUGEPAGE here: the caller-owned numpy table is untouched, so
+  // advising before the row-init writes would pay fault-time direct
+  // compaction (seconds of stall, see s2_table_alloc) for a buffer that is
+  // written once and read once (jnp.asarray upload).
   std::vector<uint8_t> fill((size_t)b_count, 0);
   std::atomic<int> overflow{0};
   auto build_range = [&](long long b_lo, long long b_hi) {
@@ -1072,14 +1082,11 @@ void* s2_count_build_impl(const uint64_t* codes, const int32_t* slot_of_key,
   t->bits = bits;
   t->cap = (size_t)1 << bits;
   t->bytes = t->cap * sizeof(CountTable::Rec);
-  void* mem = mmap(nullptr, t->bytes, PROT_READ | PROT_WRITE,
-                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  void* mem = s2_table_alloc(t->bytes);  // touch-then-advise: see helper
   if (mem == MAP_FAILED) {
     delete t;
     return nullptr;
   }
-  madvise(mem, t->bytes, MADV_HUGEPAGE);
-  memset(mem, 0, t->bytes);  // sequential pre-touch beats random faulting
   t->recs = static_cast<CountTable::Rec*>(mem);
   t->zero_slot = -1;
   const size_t mask = t->cap - 1;
@@ -1126,14 +1133,11 @@ void* s2_count_build_multi(const uint64_t* codes, const int32_t* words,
   const int ew = n_words - 2;
   t->extra_words = ew;
   t->extra_bytes = t->cap * (size_t)ew * sizeof(uint32_t);
-  void* mem = mmap(nullptr, t->extra_bytes, PROT_READ | PROT_WRITE,
-                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  void* mem = s2_table_alloc(t->extra_bytes);  // touch-then-advise
   if (mem == MAP_FAILED) {
     s2_count_free(t);
     return nullptr;
   }
-  madvise(mem, t->extra_bytes, MADV_HUGEPAGE);
-  memset(mem, 0, t->extra_bytes);
   t->extra = static_cast<uint32_t*>(mem);
   // second pass: re-probe each key to its rec position, fill its words
   const int bits = t->bits;
@@ -1567,17 +1571,11 @@ struct CompareSet {
     cap = cap0;
     mask = cap - 1;
     recs_bytes = cap * sizeof(Rec);
-    void* mem = mmap(nullptr, recs_bytes, PROT_READ | PROT_WRITE,
-                     MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    void* mem = s2_table_alloc(recs_bytes);  // touch-then-advise
     if (mem == MAP_FAILED) {
       recs = nullptr;
       return false;
     }
-    madvise(mem, recs_bytes, MADV_HUGEPAGE);
-    // pre-touch sequentially: faulting 4 KB pages one cache line at a
-    // time from random insert probes is ~2s for a 256 MB table; a linear
-    // sweep populates at streaming bandwidth.
-    memset(mem, 0, recs_bytes);
     recs = static_cast<Rec*>(mem);
     return true;
   }

@@ -23,7 +23,13 @@ import os
 
 import numpy as np
 
-__all__ = ["initialize", "host_file_partition", "merge_across_hosts"]
+__all__ = [
+    "initialize",
+    "host_file_partition",
+    "partition_by_size",
+    "merge_across_hosts",
+    "gather_blobs",
+]
 
 
 def initialize(coordinator_address: str | None = None,
@@ -50,32 +56,40 @@ def initialize(coordinator_address: str | None = None,
     return jax.process_index(), jax.process_count()
 
 
+def partition_by_size(sizes: list[int], process_index: int,
+                      process_count: int) -> list[int]:
+    """Greedy size-balanced assignment of items to ranks; returns this
+    rank's item indices in ascending order.
+
+    Deterministic across ranks (every rank computes the same full
+    assignment and takes its share), so no coordination is needed.
+    Items are identified by POSITION: duplicate inputs are supported and
+    each occurrence lands on exactly one rank.
+    """
+    sizes_arr = np.asarray(sizes, dtype=np.int64)
+    order = np.argsort(-sizes_arr, kind="stable")
+    load = [0] * process_count
+    mine_idx: list[int] = []
+    for i in order:
+        h = int(np.argmin(load))
+        load[h] += int(sizes_arr[i]) or 1
+        if h == process_index:
+            mine_idx.append(int(i))
+    return sorted(mine_idx)
+
+
 def host_file_partition(paths: list[str], process_index: int,
                         process_count: int) -> list[str]:
-    """Greedy size-balanced assignment of panel files to this host.
-
-    Deterministic across hosts (every host computes the same full
-    assignment and takes its share), so no coordination is needed.
-    """
+    """Greedy size-balanced assignment of panel files to this host
+    (partition_by_size over on-disk file sizes), preserving the original
+    list order within this host's share."""
     sizes = []
     for p in paths:
         try:
             sizes.append(os.path.getsize(p))
         except OSError:
             sizes.append(0)
-    order = np.argsort(-np.asarray(sizes), kind="stable")
-    load = [0] * process_count
-    # assign by POSITION, not by path value: duplicate list entries are a
-    # supported input (they re-count) and each occurrence must land on
-    # exactly one host
-    mine_idx: list[int] = []
-    for i in order:
-        h = int(np.argmin(load))
-        load[h] += sizes[i] or 1
-        if h == process_index:
-            mine_idx.append(int(i))
-    # preserve the original list order within this host's share
-    return [paths[i] for i in sorted(mine_idx)]
+    return [paths[i] for i in partition_by_size(sizes, process_index, process_count)]
 
 
 def merge_across_hosts(local_counts: np.ndarray) -> np.ndarray:
@@ -103,3 +117,35 @@ def merge_across_hosts(local_counts: np.ndarray) -> np.ndarray:
     stacked = np.asarray(multihost_utils.process_allgather(local_counts))
     assert stacked.shape == (jax.process_count(),) + local_counts.shape
     return stacked.sum(axis=0, dtype=local_counts.dtype)
+
+
+def gather_blobs(local: bytes) -> list[bytes]:
+    """All-gather one variable-length byte blob per process.
+
+    Returns the list of every process's blob, indexed by process rank, on
+    EVERY process.  Built from two fixed-shape process_allgather rounds
+    (lengths, then blobs padded to the global max) because the collective
+    needs identical shapes on all ranks.  Used by SPMD detection to ship
+    per-sample output payloads to rank 0 (pipeline/detect.py); payloads
+    transit through host memory, so each rank's share of an output file
+    must fit in RAM (they are zlib-compressed text — far smaller than the
+    inputs scanned to produce them).
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return [local]
+
+    from jax.experimental import multihost_utils
+
+    arr = np.frombuffer(local, dtype=np.uint8)
+    lengths = np.asarray(
+        multihost_utils.process_allgather(np.int64(arr.size))
+    ).reshape(-1)
+    m = int(lengths.max())
+    if m == 0:
+        return [b""] * int(lengths.size)
+    padded = np.zeros(m, dtype=np.uint8)
+    padded[: arr.size] = arr
+    stacked = np.asarray(multihost_utils.process_allgather(padded))
+    return [stacked[i, : int(lengths[i])].tobytes() for i in range(lengths.size)]

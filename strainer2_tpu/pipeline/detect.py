@@ -227,6 +227,189 @@ def _run_sample_pool(entries, threads: int, new_sink, run_one, payload_of,
         sys.stderr = old_stderr
 
 
+def _staged_quantify(entries, run_one, new_sink, payload_of, emit, stdout,
+                     checkpoint_dir: str | None = None, pool_ok: bool = True) -> None:
+    """Sample-granular staged scoring: SPMD detection + detect resume.
+
+    Used (instead of the streaming loop) when jax.distributed spans >1
+    process and/or a checkpoint directory is given.  Samples are scored
+    into in-memory sinks — each rank takes a deterministic size-balanced
+    share (partition_by_size over target file sizes; the whole list on a
+    single process), with the usual intra-rank thread pool when ``pool_ok``
+    — then payloads are allgathered (parallel/distributed.gather_blobs)
+    and replayed in batch-list order on rank 0.  Output bytes, stdout
+    warning interleaving, and failure position are byte-identical to the
+    sequential single-process loop: a failing sample's partial payload is
+    emitted, everything after it is not, and every rank exits nonzero
+    (the reference's per-sample loop is src/strain_detect.c:263-384).
+
+    With ``checkpoint_dir``, each completed sample's payload persists
+    (DetectCheckpoint; per-rank subdirectories under SPMD so shares can't
+    interleave) and a resumed run replays stored payloads instead of
+    rescoring — byte-identical because the payload IS the output.
+    """
+    import concurrent.futures
+    import os
+    from collections import deque
+
+    import jax
+
+    from strainer2_tpu.pipeline.progress import DetectCheckpoint
+
+    pidx, pcount = jax.process_index(), jax.process_count()
+    samples = [val for kind, val in entries if kind == "sample"]
+
+    if pcount > 1:
+        from strainer2_tpu.parallel.distributed import partition_by_size
+
+        sizes = []
+        for f1, f2, _ftype in samples:
+            s = 0
+            for p in (f1, f2):
+                if p:
+                    try:
+                        s += os.path.getsize(p)
+                    except OSError:
+                        pass
+            sizes.append(s)
+        mine = partition_by_size(sizes, pidx, pcount)
+    else:
+        mine = list(range(len(samples)))
+
+    ckpt = None
+    if checkpoint_dir:
+        d = (
+            os.path.join(checkpoint_dir, f"rank{pidx}")
+            if pcount > 1
+            else checkpoint_dir
+        )
+        ckpt = DetectCheckpoint(d)
+
+    results: dict[int, tuple[list, tuple]] = {}
+    local_exc: dict[int, BaseException] = {}
+    todo: list[tuple[int, str | None]] = []
+    for o in mine:
+        key = DetectCheckpoint.sample_key(*samples[o]) if ckpt else None
+        stored = ckpt.get(o, key) if ckpt else None
+        if stored is not None:
+            results[o] = (stored, ("ok",))
+        else:
+            todo.append((o, key))
+
+    tee = None
+
+    def work(o, args):
+        sink = new_sink()
+        token = ("ok",)
+        ebuf = tee.capture() if tee is not None else None
+        try:
+            run_one(args, sink)
+        except SystemExit as e:
+            code = e.code if e.code is not None else 0
+            token = ("exit", code if isinstance(code, int) else 1)
+        except BaseException as e:  # re-raised at its batch position below
+            local_exc[o] = e  # unique key per task: no lock needed
+            token = ("exc", 1)
+        finally:
+            if tee is not None:
+                tee.uncapture()
+        # payload extracted even on failure: the sequential loop has already
+        # written the failing sample's rows to the stream when it raises
+        return payload_of(sink), token, (ebuf.getvalue() if ebuf else "")
+
+    threads = _detect_threads(len(todo)) if pool_ok else 1
+    if threads > 1 and len(todo) > 1:
+        tee = _ThreadStderrTee(sys.stderr)
+        old_stderr = sys.stderr
+        sys.stderr = tee
+        try:
+            with concurrent.futures.ThreadPoolExecutor(threads) as ex:
+                futs: deque = deque()
+                idx = 0
+                try:
+                    for _pos in range(len(todo)):
+                        while idx < len(todo) and len(futs) < threads + 2:
+                            o, key = todo[idx]
+                            futs.append((o, key, ex.submit(work, o, samples[o])))
+                            idx += 1
+                        o, key, fut = futs.popleft()
+                        payloads, token, errtxt = fut.result()
+                        results[o] = (payloads, token)
+                        if errtxt:
+                            old_stderr.write(errtxt)
+                        if token != ("ok",):
+                            break  # later ordinals never replayed (see below)
+                        if ckpt is not None:
+                            ckpt.record(o, key, payloads)
+                finally:
+                    ex.shutdown(wait=True, cancel_futures=True)
+        finally:
+            sys.stderr = old_stderr
+    else:
+        for o, key in todo:
+            payloads, token, _ = work(o, samples[o])
+            results[o] = (payloads, token)
+            if token != ("ok",):
+                break
+            if ckpt is not None:
+                ckpt.record(o, key, payloads)
+
+    if pcount > 1:
+        import json
+        import zlib
+
+        from strainer2_tpu.parallel.distributed import gather_blobs
+
+        ordinals = sorted(results.keys())
+        raws: list[bytes] = []
+        lengths: list[list[int]] = []
+        tokens: list[list] = []
+        for o in ordinals:
+            payloads, token = results[o]
+            rs = [p.encode("utf-8") for p in payloads]
+            raws.extend(rs)
+            lengths.append([len(r) for r in rs])
+            tokens.append(list(token))
+        header = json.dumps({"o": ordinals, "t": tokens, "l": lengths}).encode()
+        blob = header + b"\0" + zlib.compress(b"".join(raws), 1)
+        merged: dict[int, tuple[list, tuple]] = {}
+        for b in gather_blobs(blob):
+            head, _, comp = b.partition(b"\0")
+            h = json.loads(head.decode())
+            raw = zlib.decompress(comp)
+            off = 0
+            for o, tok, lens in zip(h["o"], h["t"], h["l"]):
+                ps = []
+                for n in lens:
+                    ps.append(raw[off : off + n].decode("utf-8"))
+                    off += n
+                merged[o] = (ps, tuple(tok))
+        results = merged
+
+    # replay in batch-list order; rank 0 owns the observable streams
+    si = 0
+    for kind, val in entries:
+        if kind == "msg":
+            if pidx == 0:
+                stdout.write(val)
+            continue
+        if si not in results:
+            # every sample before the globally-first failure is present by
+            # construction (ranks stop scoring only after their own failure)
+            raise RuntimeError(
+                f"staged detection: sample {si} missing from gathered results"
+            )
+        payloads, token = results[si]
+        if pidx == 0:
+            emit(payloads)
+        if token[0] != "ok":
+            exc = local_exc.get(si)
+            if exc is not None:
+                raise exc  # this rank scored it: surface the real exception
+            raise SystemExit(token[1])
+        si += 1
+
+
 def _detect_threads(n_samples: int) -> int:
     """Worker count for sample-parallel detection (STRAINER2_DETECT_THREADS
     overrides; default caps at 8).  Each in-flight sample buffers its
@@ -382,7 +565,13 @@ class StrainDetector:
     # ---- stage 3: background filter ----
     def background_filter(self, background_list: str) -> None:
         """Demote informative k-mers frequent in background metagenomes
-        (reference src/strain_detect.c:160-240; stats lines go to stdout)."""
+        (reference src/strain_detect.c:160-240; stats lines go to stdout).
+
+        Under jax.distributed (>1 process) each rank counts its
+        size-balanced share of the background list and the per-slot counts
+        integer-merge (bit-identical; every rank ends with the same
+        demotions, which SPMD detection requires)."""
+        import jax
         import jax.numpy as jnp
 
         from strainer2_tpu.pipeline.scrub_count import (
@@ -392,6 +581,11 @@ class StrainDetector:
 
         cfg = self.cfg
         paths = read_list_file(background_list)
+        pcount = jax.process_count()
+        if pcount > 1:
+            from strainer2_tpu.parallel.distributed import host_file_partition
+
+            paths = host_file_partition(paths, jax.process_index(), pcount)
         nc = (
             self.index.native_counter()
             if _use_native_counting(self.engine)
@@ -405,6 +599,10 @@ class StrainDetector:
                     self.engine, self.index, counts, path, cfg.rows, cfg.row_len
                 )
             counts_np = np.asarray(counts)
+        if pcount > 1:
+            from strainer2_tpu.parallel.distributed import merge_across_hosts
+
+            counts_np = merge_across_hosts(counts_np)
         bg_counts = self.index.key_values(counts_np).astype(np.int64)
         background_demote(
             self.kmer_type, bg_counts, self.num_informative_marked,
@@ -484,11 +682,62 @@ class StrainDetector:
         b_file: str | None = None,
         b_file2: str | None = None,
         file_type: int = NOT_PAIRED_END,
+        checkpoint_dir: str | None = None,
     ) -> None:
-        """Process all target samples and write the gzip hits file."""
+        """Process all target samples and write the gzip hits file.
+
+        With jax.distributed spanning >1 process, batch-list samples are
+        scored SPMD across ranks (deterministic size-balanced shares) and
+        rank 0 writes the output in batch order — byte-identical to a
+        single-process run.  checkpoint_dir enables sample-granular
+        resume (DetectCheckpoint), usable with or without SPMD."""
         import gzip
 
+        import jax
+
         self._finalize_meta()
+        pidx, pcount = jax.process_index(), jax.process_count()
+        if pcount > 1 and self.cfg.mesh is not None:
+            # same constraint as scrub counting: the shard_map mesh spans
+            # ALL processes' devices under jax.distributed, so per-rank
+            # divergent sample shares would break SPMD
+            print(
+                "mesh sharding and multi-process sample partitioning cannot "
+                "combine: run either one process with a device mesh, or one "
+                "process per host (the default here)",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+        if batch_list is not None and (pcount > 1 or checkpoint_dir):
+            import io
+
+            entries = _parse_batch_entries(batch_list)
+            nc = self._native_classifier()
+            if nc is not None:
+                run_one = lambda args, sink: self._quantify_sample_native(
+                    nc, *args, sink
+                )
+            else:
+                run_one = lambda args, sink: self._quantify_sample(*args, sink)
+            out = (
+                gzip.open(out_path, "wt", compresslevel=9) if pidx == 0 else None
+            )
+            try:
+                _staged_quantify(
+                    entries, run_one, io.StringIO,
+                    lambda s: [s.getvalue()],
+                    (lambda ps: out.write(ps[0]))
+                    if out is not None
+                    else (lambda ps: None),
+                    self.stdout, checkpoint_dir=checkpoint_dir,
+                    pool_ok=nc is not None,
+                )
+            finally:
+                if out is not None:
+                    out.close()
+            return
+        if pcount > 1 and pidx != 0:
+            return  # single-sample mode: rank 0 owns the only sample
         with gzip.open(out_path, "wt", compresslevel=9) as out:
             if batch_list is not None:
                 entries = _parse_batch_entries(batch_list)
@@ -881,7 +1130,23 @@ def run_detect(
     cfg: DetectConfig | None = None,
     stdout: IO | None = None,
     index_cache: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> StrainDetector:
+    """Full strain_detect stage.
+
+    Multi-process SPMD: with jax.distributed initialized (e.g.
+    JAX_COORDINATOR_ADDRESS set, one process per host), every rank builds
+    the same detector state, batch-list samples are scored across ranks,
+    and rank 0 writes the output + stdout — byte-identical to one process.
+    checkpoint_dir makes the batch run resumable at sample granularity."""
+    from strainer2_tpu.parallel.distributed import initialize
+
+    pidx, pcount = initialize()
+    if pcount > 1 and pidx != 0:
+        # rank 0 owns the observable streams (stats lines print once)
+        from strainer2_tpu.pipeline.fused import _NullTextSink
+
+        stdout = _NullTextSink()
     det = StrainDetector(r_file, a_file, cfg, stdout=stdout, index_cache=index_cache)
     if background_list:
         det.background_filter(background_list)
@@ -891,5 +1156,6 @@ def run_detect(
         b_file=b_file,
         b_file2=b_file2,
         file_type=file_type,
+        checkpoint_dir=checkpoint_dir,
     )
     return det

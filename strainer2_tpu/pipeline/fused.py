@@ -163,8 +163,10 @@ def run_pipeline(
     # ---- stage 1: panel counting (one shared index) ----
     # multi-host SPMD (same contract as run_scrub_count): with
     # jax.distributed initialized, ranks count partitioned shares of each
-    # panel list and integer-merge; rank 0 alone runs filter/detect/
-    # coverage and writes every artifact
+    # panel list and integer-merge.  The merge hands every rank identical
+    # columns, so every rank then derives the same filter result and
+    # detector state and the detection phase ALSO partitions across ranks
+    # (detect._staged_quantify); rank 0 alone writes artifacts + stdout.
     from strainer2_tpu.parallel.distributed import initialize, merge_across_hosts
 
     pidx, pcount = initialize()
@@ -186,8 +188,14 @@ def run_pipeline(
         if col_drug is not None:
             col_drug = merge_across_hosts(col_drug)
         if pidx != 0:
-            order_thread.join()
-            return paths  # rank 0 owns the downstream stages + artifacts
+            # participate in SPMD detection but write no artifacts
+            fcfg = FusedConfig(
+                min_fraction=fcfg.min_fraction, independent=fcfg.independent,
+                min_kmer_hits=fcfg.min_kmer_hits, write_counts=False,
+                write_scrubbed=False, gzip_level=fcfg.gzip_level,
+            )
+            err = _NullTextSink()
+            stdout = _NullTextSink()
 
     order_thread.join()
     if order_box and isinstance(order_box[0], BaseException):
@@ -239,6 +247,8 @@ def run_pipeline(
         det.background_filter(background_list)
     det.quantify_all(paths["hits"], batch_list=target_list)
 
+    if pcount > 1 and pidx != 0:
+        return paths  # rank 0 owns the remaining artifacts
     with stage("fused.coverage"), open(paths["coverage"], "w") as f:
         run_coverage_depth(
             paths["hits"], min_kmer_hits=fcfg.min_kmer_hits,
@@ -289,6 +299,21 @@ def run_multi_pipeline(
     err = err if err is not None else sys.stderr
     os.makedirs(out_dir, exist_ok=True)
     cfg = ScrubCountConfig()
+
+    # multi-host SPMD (same contract as run_pipeline): panel counting and
+    # detection both partition across jax.distributed ranks; rank 0 alone
+    # writes artifacts + stdout
+    from strainer2_tpu.parallel.distributed import initialize
+
+    pidx, pcount = initialize()
+    if pcount > 1 and pidx != 0:
+        fcfg = FusedConfig(
+            min_fraction=fcfg.min_fraction, independent=fcfg.independent,
+            min_kmer_hits=fcfg.min_kmer_hits, write_counts=False,
+            write_scrubbed=False, gzip_level=fcfg.gzip_level,
+        )
+        err = _NullTextSink()
+        stdout = _NullTextSink()
 
     stems = [_stem(r) for r in r_files]
     if len(set(stems)) != len(stems):
@@ -366,6 +391,8 @@ def run_multi_pipeline(
             [p["hits"] for p in all_paths[start : start + len(chunk)]], target_list
         )
 
+    if pcount > 1 and pidx != 0:
+        return all_paths  # rank 0 owns the remaining artifacts
     with stage("fused.coverage"):
         for paths in all_paths:
             with open(paths["coverage"], "w") as f:

@@ -331,6 +331,15 @@ class MultiStrainDetector:
         eng = KmerEngine(cfg.k, layout="bucket")
         union_index = _UnionIndexView(self.table, cfg.k)
         paths = read_list_file(background_list)
+        import jax
+
+        pcount = jax.process_count()
+        if pcount > 1:
+            # SPMD: each rank counts its share; per-slot integer merge
+            # below makes every rank's demotions identical (bit-exact)
+            from strainer2_tpu.parallel.distributed import host_file_partition
+
+            paths = host_file_partition(paths, jax.process_index(), pcount)
         nc = None
         if _use_native_counting(eng):
             try:
@@ -347,6 +356,10 @@ class MultiStrainDetector:
                     eng, union_index, counts, path, cfg.rows, cfg.row_len
                 )
             per_slot = np.asarray(counts)
+        if pcount > 1:
+            from strainer2_tpu.parallel.distributed import merge_across_hosts
+
+            per_slot = merge_across_hosts(per_slot)
         bg_union = per_slot[self.table.slot_of_key].astype(np.int64)  # union order
         for st, codes, types in zip(self.states, per_strain_codes, per_strain_types):
             pos = np.searchsorted(union, codes)
@@ -355,14 +368,69 @@ class MultiStrainDetector:
                 cfg.fraction_background_to_remove, background_list, self.stdout,
             )
 
-    def quantify_all(self, out_paths: list[str], batch_list: str) -> None:
+    def quantify_all(self, out_paths: list[str], batch_list: str,
+                     checkpoint_dir: str | None = None) -> None:
         """One pass over every sample in the batch file; writes one
-        kmer_hits gz file per strain."""
+        kmer_hits gz file per strain.
+
+        Multi-process SPMD and/or sample-granular resume run through the
+        same staged machinery as the single-strain detector
+        (detect._staged_quantify); each sample's payload is its S
+        per-strain texts."""
         from strainer2_tpu.pipeline.detect import (
             _detect_threads,
             _parse_batch_entries,
             _run_sample_pool,
+            _staged_quantify,
         )
+
+        import jax
+
+        pidx, pcount = jax.process_index(), jax.process_count()
+        if pcount > 1 and self.cfg.mesh is not None:
+            print(
+                "mesh sharding and multi-process sample partitioning cannot "
+                "combine: run either one process with a device mesh, or one "
+                "process per host (the default here)",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+        if pcount > 1 or checkpoint_dir:
+            import io
+
+            entries = _parse_batch_entries(batch_list)
+            nc = self._native_multi_classifier()
+            n_strains = len(self.states)
+            if nc is not None:
+                run_one = lambda args, sinks: self._quantify_sample_native(
+                    nc, *args, sinks
+                )
+            else:
+                run_one = lambda args, sinks: self._quantify_sample(*args, sinks)
+            outs = (
+                [gzip.open(p, "wt", compresslevel=9) for p in out_paths]
+                if pidx == 0
+                else None
+            )
+
+            def emit(payloads):
+                if outs is not None:
+                    for o, p in zip(outs, payloads):
+                        o.write(p)
+
+            try:
+                _staged_quantify(
+                    entries, run_one,
+                    lambda: [io.StringIO() for _ in range(n_strains)],
+                    lambda sinks: [b.getvalue() for b in sinks],
+                    emit, self.stdout, checkpoint_dir=checkpoint_dir,
+                    pool_ok=nc is not None,
+                )
+            finally:
+                if outs is not None:
+                    for o in outs:
+                        o.close()
+            return
 
         outs = [gzip.open(p, "wt", compresslevel=9) for p in out_paths]
         try:

@@ -61,22 +61,39 @@ def multi_scrub_counts(
     union_codes = np.unique(np.concatenate([ix.codes for ix in strain_indexes]))
     union = StrainIndex.from_unique_codes(union_codes, k=cfg.k)
 
+    # multi-host SPMD: each rank counts its size-balanced share of every
+    # panel list; the per-slot integer merge hands every rank identical
+    # union counts (bit-exact), so all ranks project identical columns
+    import jax
+
+    pidx, pcount = jax.process_index(), jax.process_count()
+
     def count_list(paths: list[str]):
         from strainer2_tpu.pipeline.scrub_count import (
             _use_native_counting,
             count_files_native_pooled,
         )
 
+        if pcount > 1:
+            from strainer2_tpu.parallel.distributed import host_file_partition
+
+            paths = host_file_partition(paths, pidx, pcount)
         for path in paths:
             _progress_line(progress, path)
         nc = union.native_counter() if _use_native_counting(engine) else None
         counts_np = count_files_native_pooled(nc, paths, union.table.num_slots)
-        if counts_np is not None:
-            return union.key_values(counts_np).astype(np.uint32)
-        counts = jnp.zeros(union.table.num_slots, dtype=jnp.uint32)
-        for path in paths:
-            counts = count_panel_file(engine, union, counts, path, cfg.rows, cfg.row_len)
-        return union.key_values(np.asarray(counts)).astype(np.uint32)
+        if counts_np is None:
+            counts = jnp.zeros(union.table.num_slots, dtype=jnp.uint32)
+            for path in paths:
+                counts = count_panel_file(
+                    engine, union, counts, path, cfg.rows, cfg.row_len
+                )
+            counts_np = np.asarray(counts)
+        if pcount > 1:
+            from strainer2_tpu.parallel.distributed import merge_across_hosts
+
+            counts_np = merge_across_hosts(counts_np)
+        return union.key_values(counts_np).astype(np.uint32)
 
     pan_union = count_list(read_list_file(a_list))
     meta_union = count_list(read_list_file(b_list))

@@ -62,6 +62,33 @@ def main() -> None:
             f.write(f"{time.time() - t0}\n")
         return
 
+    if mode in ("detect", "detect_ckpt"):
+        # SPMD detection: every rank builds the same detector, scores its
+        # sample share, rank 0 writes the gzip hits file + stdout
+        import io
+
+        from strainer2_tpu.pipeline.detect import run_detect
+
+        out = io.StringIO()
+        run_detect(
+            os.path.join(workdir, "genome.fa"),
+            os.path.join(workdir, "scrubbed.txt"),
+            os.path.join(workdir, f"hits_{pid}.gz"),
+            batch_list=os.path.join(workdir, "targets.txt"),
+            background_list=(
+                os.path.join(workdir, "background.txt")
+                if os.path.exists(os.path.join(workdir, "background.txt"))
+                else None
+            ),
+            stdout=out,
+            checkpoint_dir=(
+                os.path.join(workdir, "dckpt") if mode == "detect_ckpt" else None
+            ),
+        )
+        with open(os.path.join(workdir, f"detect_stdout_{pid}.txt"), "w") as f:
+            f.write(out.getvalue())
+        return
+
     if mode == "fused":
         from strainer2_tpu.pipeline.fused import run_pipeline
 

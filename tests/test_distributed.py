@@ -262,6 +262,118 @@ def test_run_scrub_count_two_processes_checkpointed_and_resumed(tmp_path):
         assert f.read() == expected
 
 
+def _make_detect_workdir(tmp_path, rng, with_background=True):
+    """Genome + scrubbed-k-mer file + mixed SE/PE batch list (including a
+    malformed line, so stdout-warning interleaving is exercised)."""
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = alpha[rng.integers(0, 4, size=4000)].tobytes().decode()
+    _write_fasta(tmp_path / "genome.fa", [genome])
+    with open(tmp_path / "scrubbed.txt", "w") as f:
+        for i in range(0, 2000, 40):
+            f.write(genome[i : i + 31] + "\n")
+
+    def make_reads(n, hit_rate):
+        reads = []
+        for _ in range(n):
+            if rng.random() < hit_rate:
+                start = int(rng.integers(0, len(genome) - 90))
+                reads.append(genome[start : start + 90])
+            else:
+                reads.append(alpha[rng.integers(0, 4, size=90)].tobytes().decode())
+        return reads
+
+    sample_files = []
+    for j in range(4):
+        p = tmp_path / f"se_{j}.fa"
+        _write_fasta(p, make_reads(25 + 10 * j, 0.4))
+        sample_files.append(str(p))
+    _write_fasta(tmp_path / "pe_1.fa", make_reads(30, 0.5))
+    _write_fasta(tmp_path / "pe_2.fa", make_reads(30, 0.5))
+    with open(tmp_path / "targets.txt", "w") as f:
+        f.write(f"SE\t{sample_files[0]}\n")
+        f.write(f"PE\t{tmp_path}/pe_1.fa\t{tmp_path}/pe_2.fa\n")
+        f.write("XX\tnot_a_file\n")  # malformed: stdout warning position
+        for s in sample_files[1:]:
+            f.write(f"SE\t{s}\n")
+    if with_background:
+        bg = tmp_path / "bg.fa"
+        _write_fasta(bg, make_reads(40, 0.3))
+        with open(tmp_path / "background.txt", "w") as f:
+            f.write(f"{bg}\n{sample_files[0]}\n")
+
+
+def _expected_detect(tmp_path, with_background=True):
+    import io
+
+    from strainer2_tpu.pipeline.detect import run_detect
+
+    out = io.StringIO()
+    run_detect(
+        str(tmp_path / "genome.fa"), str(tmp_path / "scrubbed.txt"),
+        str(tmp_path / "hits_ref.gz"),
+        batch_list=str(tmp_path / "targets.txt"),
+        background_list=(
+            str(tmp_path / "background.txt") if with_background else None
+        ),
+        stdout=out,
+    )
+    import gzip as _gzip
+
+    with _gzip.open(tmp_path / "hits_ref.gz", "rb") as f:
+        return f.read(), out.getvalue()
+
+
+def test_run_detect_two_real_processes(tmp_path):
+    """SPMD detection over 2 real jax.distributed processes: samples are
+    scored across ranks (background filter counting partitioned too) and
+    rank 0's gzip payload + stdout are byte-identical to a single-process
+    run; rank 1 writes neither."""
+    rng = np.random.default_rng(31)
+    _make_detect_workdir(tmp_path, rng)
+    expected_hits, expected_stdout = _expected_detect(tmp_path)
+    assert b"\t" in expected_hits  # some informative rows, not just summaries
+
+    _launch_scrub_workers(tmp_path, "detect")
+    import gzip as _gzip
+
+    with _gzip.open(tmp_path / "hits_0.gz", "rb") as f:
+        assert f.read() == expected_hits
+    with open(tmp_path / "detect_stdout_0.txt") as f:
+        assert f.read() == expected_stdout
+    assert not (tmp_path / "hits_1.gz").exists()
+    with open(tmp_path / "detect_stdout_1.txt") as f:
+        assert f.read() == ""
+
+
+def test_run_detect_two_processes_checkpointed_and_resumed(tmp_path):
+    """SPMD detection + per-rank sample checkpoints: a fresh checkpointed
+    2-process run AND a full resume (every sample already recorded) both
+    reproduce the single-process output byte-for-byte, and both ranks
+    actually scored samples (the partition is a real split)."""
+    import json
+
+    rng = np.random.default_rng(53)
+    _make_detect_workdir(tmp_path, rng)
+    expected_hits, expected_stdout = _expected_detect(tmp_path)
+
+    _launch_scrub_workers(tmp_path, "detect_ckpt")
+    import gzip as _gzip
+
+    with _gzip.open(tmp_path / "hits_0.gz", "rb") as f:
+        assert f.read() == expected_hits
+    with open(tmp_path / "detect_stdout_0.txt") as f:
+        assert f.read() == expected_stdout
+    for r in (0, 1):
+        with open(tmp_path / "dckpt" / f"rank{r}" / "detect_manifest.json") as f:
+            assert len(json.load(f)["samples"]) > 0, f"rank{r} scored nothing"
+
+    # full resume: payloads replay from the checkpoints
+    os.remove(tmp_path / "hits_0.gz")
+    _launch_scrub_workers(tmp_path, "detect_ckpt")
+    with _gzip.open(tmp_path / "hits_0.gz", "rb") as f:
+        assert f.read() == expected_hits
+
+
 def test_fused_pipeline_two_real_processes(tmp_path):
     """The fused 4-stage pipeline in SPMD mode: ranks share the panel
     counting, rank 0 produces every artifact byte-identical to a
@@ -285,7 +397,10 @@ def test_fused_pipeline_two_real_processes(tmp_path):
     with open(tmp_path / "panels.txt", "w") as f:
         f.write("\n".join(panels) + "\n")
     with open(tmp_path / "targets.txt", "w") as f:
+        # several samples so the SPMD detection phase actually partitions
         f.write(f"SE\t{panels[0]}\n")
+        f.write(f"SE\t{panels[1]}\n")
+        f.write(f"PE\t{panels[2]}\t{panels[3]}\n")
 
     from strainer2_tpu.pipeline.fused import FusedConfig, run_pipeline
 

@@ -53,6 +53,124 @@ def test_scrub_resume_bit_identical(tmp_path):
         assert out.getvalue().encode() == f.read()
 
 
+def _read_gz(path):
+    import gzip
+
+    with gzip.open(path, "rb") as f:
+        return f.read()
+
+
+def test_detect_checkpoint_fresh_run_identical(tmp_path):
+    """A checkpointed batch run (staged scoring path) is byte-identical to
+    the streaming loop, including stdout warning interleaving."""
+    from strainer2_tpu.pipeline.detect import run_detect
+
+    p_ref, p_ck = str(tmp_path / "ref.gz"), str(tmp_path / "ck.gz")
+    out_ref, out_ck = io.StringIO(), io.StringIO()
+    run_detect("data/strainA.fna.gz", "expected/scrubbed_m05.txt", p_ref,
+               batch_list="data/targets.txt", stdout=out_ref)
+    run_detect("data/strainA.fna.gz", "expected/scrubbed_m05.txt", p_ck,
+               batch_list="data/targets.txt", stdout=out_ck,
+               checkpoint_dir=str(tmp_path / "ckpt"))
+    assert _read_gz(p_ck) == _read_gz(p_ref)
+    assert out_ck.getvalue() == out_ref.getvalue()
+
+
+def test_detect_resume_bit_identical(tmp_path, monkeypatch):
+    """Crash after the first sample of a -B batch; the resumed run replays
+    the stored payload, scores only the remaining samples, and the output
+    is byte-identical to an uninterrupted run."""
+    from strainer2_tpu.pipeline.detect import StrainDetector, run_detect
+
+    monkeypatch.setenv("STRAINER2_DETECT_THREADS", "1")  # deterministic crash point
+    p_ref = str(tmp_path / "ref.gz")
+    run_detect("data/strainA.fna.gz", "expected/scrubbed_m05.txt", p_ref,
+               batch_list="data/targets.txt", stdout=io.StringIO())
+
+    class Boom(Exception):
+        pass
+
+    calls = {"n": 0}
+    orig_native = StrainDetector._quantify_sample_native
+    orig_jit = StrainDetector._quantify_sample
+
+    def crash_after_first(orig):
+        def wrapper(self, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise Boom()
+            return orig(self, *a, **kw)
+
+        return wrapper
+
+    ck = str(tmp_path / "ckpt")
+    p1 = str(tmp_path / "crash.gz")
+    monkeypatch.setattr(
+        StrainDetector, "_quantify_sample_native", crash_after_first(orig_native)
+    )
+    monkeypatch.setattr(
+        StrainDetector, "_quantify_sample", crash_after_first(orig_jit)
+    )
+    with pytest.raises(Boom):
+        run_detect("data/strainA.fna.gz", "expected/scrubbed_m05.txt", p1,
+                   batch_list="data/targets.txt", stdout=io.StringIO(),
+                   checkpoint_dir=ck)
+    assert calls["n"] == 2
+
+    # resume: the completed sample must NOT be rescored
+    calls["n"] = 0
+    monkeypatch.setattr(
+        StrainDetector, "_quantify_sample_native",
+        lambda self, nc, f1, *a, **kw: (_ for _ in ()).throw(
+            AssertionError(f"rescored {f1}")
+        ) if f1 == "data/target_PE1.fasta.gz" else orig_native(self, nc, f1, *a, **kw),
+    )
+    monkeypatch.setattr(
+        StrainDetector, "_quantify_sample",
+        lambda self, f1, *a, **kw: (_ for _ in ()).throw(
+            AssertionError(f"rescored {f1}")
+        ) if f1 == "data/target_PE1.fasta.gz" else orig_jit(self, f1, *a, **kw),
+    )
+    p2 = str(tmp_path / "resumed.gz")
+    out2 = io.StringIO()
+    run_detect("data/strainA.fna.gz", "expected/scrubbed_m05.txt", p2,
+               batch_list="data/targets.txt", stdout=out2, checkpoint_dir=ck)
+    assert _read_gz(p2) == _read_gz(p_ref)
+
+
+def test_multi_detect_checkpoint_fresh_and_resume(tmp_path):
+    """Multi-strain staged detection: a checkpointed run matches the
+    streaming run per strain, and a full resume (all samples recorded)
+    replays without rescoring."""
+    from strainer2_tpu.pipeline.detect import DetectConfig
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    strains = [
+        ("data/strainA.fna.gz", "expected/scrubbed_m05.txt"),
+        ("data/strainA.fna.gz", "expected/scrubbed_m30.txt"),
+    ]
+    ref_paths = [str(tmp_path / f"ref_{i}.gz") for i in range(len(strains))]
+    det = MultiStrainDetector(strains, DetectConfig(), stdout=io.StringIO())
+    det.quantify_all(ref_paths, "data/targets.txt")
+
+    ck = str(tmp_path / "ckpt")
+    ck_paths = [str(tmp_path / f"ck_{i}.gz") for i in range(len(strains))]
+    det2 = MultiStrainDetector(strains, DetectConfig(), stdout=io.StringIO())
+    det2.quantify_all(ck_paths, "data/targets.txt", checkpoint_dir=ck)
+    for rp, cp in zip(ref_paths, ck_paths):
+        assert _read_gz(cp) == _read_gz(rp)
+
+    # full resume: no sample is rescored
+    det3 = MultiStrainDetector(strains, DetectConfig(), stdout=io.StringIO())
+    det3._quantify_sample_native = det3._quantify_sample = (
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("rescored"))
+    )
+    re_paths = [str(tmp_path / f"re_{i}.gz") for i in range(len(strains))]
+    det3.quantify_all(re_paths, "data/targets.txt", checkpoint_dir=ck)
+    for rp, cp in zip(ref_paths, re_paths):
+        assert _read_gz(cp) == _read_gz(rp)
+
+
 def test_detect_index_cache_identical(tmp_path):
     import gzip
 
