@@ -9,10 +9,14 @@ Rapid ("hybrid") mode replicates the reference's subsample-then-escalate
 control flow exactly: after the max_seeds-th evaluated (non-N) window, if
 the hit fraction exceeds the threshold the whole query is scanned
 ("fullmap"), otherwise scanning stops and the partial tallies are printed
-(reference src/genome_compare.c:327-340).  On device each batch yields
-per-window hit/valid masks; the crossing point is located with a host-side
-cumulative sum, so the decision happens at exactly the same window as the
-reference's scalar loop.
+(reference src/genome_compare.c:327-340).  On the device path every batch
+reduces ON DEVICE: fullmap batches fold into a persistent (2,) accumulator
+(read back at rare spill points), and undecided rapid-mode batches return
+four scalars including the crossing position located by a device-side
+cumulative sum + searchsorted — the decision happens at exactly the same
+window as the reference's scalar loop, and the full per-window masks never
+cross to host (bulk D2H is pathological on the remote-attached TPU
+transport; docs/PERFORMANCE.md measurement caveats).
 """
 
 from __future__ import annotations
@@ -32,6 +36,10 @@ from strainer2_tpu.pipeline.scrub_count import read_list_file
 __all__ = ["CompareConfig", "GenomeComparer", "run_genome_compare"]
 
 DEFAULT_SEED = 20  # reference src/main.c:11
+# fullmap device batches between accumulator spills: a batch adds <= ~1M to
+# each int32 lane, so spilling every 1024 batches stays exact on files of
+# any size while costing one tiny readback per ~1e9 windows
+_ACC_SPILL_BATCHES = 1024
 CLONE_MODE = (50_000, 0.1)  # reference src/main.c:13,16
 STRAIN_MODE = (100_000, 0.05)  # reference src/main.c:14,15
 
@@ -175,36 +183,68 @@ class GenomeComparer:
         t = self.index.table
         table_dev = self.index.device_table()
 
+        # Everything reduces ON DEVICE: fullmap batches fold into a (2,)
+        # device accumulator read back once per file, and undecided
+        # rapid-mode batches return four scalars (engine.hit_stats) — the
+        # full (rows x width) masks never cross to host.  Bulk D2H is
+        # pathological on the remote-attached TPU transport
+        # (docs/PERFORMANCE.md measurement caveats #2); this is the jit
+        # engine's scoring path on TPU, so it must stay scalar-readback.
+        import jax.numpy as jnp
+
         hits = 0
         evaluated = 0
         fullmap = cfg.max_seeds == 0
         decided = fullmap
+        acc = jnp.zeros(2, dtype=jnp.int32)
+        acc_batches = 0
 
         seqs = (rec.seq for rec in read_fastx(path))
         stream = pack_stream(seqs, cfg.k, rows=cfg.rows, row_len=cfg.row_len)
         for batch in stream:
-            hit_m, valid_m = self.engine.hit_masks(
-                table_dev, t.h_bits, t.salt, batch.bases
+            if decided:
+                acc = self.engine.hit_accumulate(
+                    acc, table_dev, t.h_bits, t.salt, batch.bases
+                )
+                acc_batches += 1
+                if acc_batches >= _ACC_SPILL_BATCHES:
+                    # rare scalar spill keeps the int32 device lanes exact
+                    # on arbitrarily large files
+                    acc_np = np.asarray(acc)
+                    hits += int(acc_np[0])
+                    evaluated += int(acc_np[1])
+                    acc = jnp.zeros(2, dtype=jnp.int32)
+                    acc_batches = 0
+                continue
+            bh, bv, hits_at, pos = self.engine.hit_stats(
+                table_dev, t.h_bits, t.salt, batch.bases,
+                jnp.int32(cfg.max_seeds - evaluated),
             )
-            hit_f = np.asarray(hit_m).reshape(-1)
-            valid_f = np.asarray(valid_m).reshape(-1)
-            if not decided:
-                cum_valid = np.cumsum(valid_f)
-                cross = np.searchsorted(cum_valid, cfg.max_seeds - evaluated)
-                if cross < cum_valid.size:
-                    # totals at exactly the max_seeds-th evaluated window
-                    hits_at = hits + int(np.cumsum(hit_f)[cross])
-                    eval_at = cfg.max_seeds
-                    frac = hits_at / eval_at if eval_at else 0.0
-                    decided = True
-                    if frac > cfg.threshold_for_fullmap:
-                        fullmap = True
-                    else:
-                        hits, evaluated = hits_at, eval_at
-                        break
-            hits += int(hit_f.sum())
-            evaluated += int(valid_f.sum())
+            if int(pos) >= 0:
+                # totals at exactly the max_seeds-th evaluated window
+                # (reference src/genome_compare.c:327-340)
+                hits_at_total = hits + int(hits_at)
+                eval_at = cfg.max_seeds
+                frac = hits_at_total / eval_at if eval_at else 0.0
+                decided = True
+                if frac > cfg.threshold_for_fullmap:
+                    fullmap = True
+                    # the post-crossing remainder of THIS batch still counts
+                    # (the reference keeps scanning in place): fold the whole
+                    # batch in like any fullmap batch
+                    hits += int(bh)
+                    evaluated += int(bv)
+                else:
+                    hits, evaluated = hits_at_total, eval_at
+                    break
+            else:
+                hits += int(bh)
+                evaluated += int(bv)
 
+        if fullmap or not decided:
+            acc_np = np.asarray(acc)  # one (2,) readback per file
+            hits += int(acc_np[0])
+            evaluated += int(acc_np[1])
         misses = evaluated - hits
         out.write(
             f"{self.a_file}\t{path}\t{hits}\t{misses}\t{_c_fraction(hits, misses)}\n"

@@ -105,6 +105,15 @@ class KmerEngine:
             static_argnames=("h_bits", "salt"),
             donate_argnums=(0,),
         )
+        self._hit_accum = jax.jit(
+            partial(_hit_accum_bucket if bucket else _hit_accum, k=k),
+            static_argnames=("h_bits", "salt"),
+            donate_argnums=(0,),
+        )
+        self._hit_stats = jax.jit(
+            partial(_hit_stats_bucket if bucket else _hit_stats, k=k),
+            static_argnames=("h_bits", "salt"),
+        )
 
     # ---- index construction path ----
     def extract_codes(self, bases: np.ndarray) -> np.ndarray:
@@ -207,11 +216,74 @@ class KmerEngine:
             return self._hits(table, bases, h_bits=h_bits, salt=salt)
         return self._hits(table[0], table[1], bases, h_bits=h_bits, salt=salt)
 
+    def hit_accumulate(self, acc, table, h_bits: int, salt: int, bases):
+        """acc (2,) int32 device (hits, evaluated) += this batch's tallies.
+
+        Fullmap scoring path: the accumulator lives on device across the
+        stream and is read back only at spill points — no per-batch
+        device->host traffic (docs/PERFORMANCE.md measurement caveat #2:
+        bulk D2H over the remote-attached transport is pathological)."""
+        if self.layout == "bucket":
+            return self._hit_accum(acc, table, bases, h_bits=h_bits, salt=salt)
+        return self._hit_accum(acc, table[0], table[1], bases, h_bits=h_bits, salt=salt)
+
+    def hit_stats(self, table, h_bits: int, salt: int, bases, remaining):
+        """Rapid-mode batch stats, all reduced on device: returns device
+        scalars (batch_hits, batch_evaluated, hits_at_crossing, cross_pos)
+        where cross_pos is the flat index of the ``remaining``-th valid
+        window of this batch (-1 if the batch ends first) and
+        hits_at_crossing the inclusive hit prefix there — exactly the
+        reference's stop-and-test point (reference
+        src/genome_compare.c:327-340).  Only these four scalars cross to
+        host per undecided batch."""
+        if self.layout == "bucket":
+            return self._hit_stats(table, bases, remaining, h_bits=h_bits, salt=salt)
+        return self._hit_stats(
+            table[0], table[1], bases, remaining, h_bits=h_bits, salt=salt
+        )
+
 
 def _hit_masks(t_hi, t_lo, bases, *, k, h_bits, salt):
     win = canonical_windows(jnp.asarray(bases), k)
     found, _ = cuckoo_lookup((t_hi, t_lo), h_bits, salt, win.hi, win.lo)
     return found & win.valid, win.valid
+
+
+def _accum_from_masks(acc, hit, valid):
+    # int32 lanes (jax x64 is off); a batch adds <= rows*width ~ 1M, so the
+    # caller spills to host python ints every ~1k batches to stay exact on
+    # arbitrarily large files (pipeline/compare.py _ACC_SPILL_BATCHES)
+    return acc + jnp.stack(
+        [jnp.sum(hit, dtype=jnp.int32), jnp.sum(valid, dtype=jnp.int32)]
+    )
+
+
+def _stats_from_masks(hit, valid, remaining):
+    hit_i = hit.reshape(-1).astype(jnp.int32)
+    valid_i = valid.reshape(-1).astype(jnp.int32)
+    cum_hit = jnp.cumsum(hit_i)
+    cum_valid = jnp.cumsum(valid_i)
+    q = cum_valid.shape[0]
+    # first flat index whose inclusive valid prefix reaches `remaining`
+    pos = jnp.searchsorted(cum_valid, remaining.astype(jnp.int32))
+    crossed = pos < q
+    hits_at = jnp.where(crossed, cum_hit[jnp.minimum(pos, q - 1)], 0)
+    return (
+        cum_hit[q - 1],
+        cum_valid[q - 1],
+        hits_at,
+        jnp.where(crossed, pos, -1),
+    )
+
+
+def _hit_accum(acc, t_hi, t_lo, bases, *, k, h_bits, salt):
+    hit, valid = _hit_masks(t_hi, t_lo, bases, k=k, h_bits=h_bits, salt=salt)
+    return _accum_from_masks(acc, hit, valid)
+
+
+def _hit_stats(t_hi, t_lo, bases, remaining, *, k, h_bits, salt):
+    hit, valid = _hit_masks(t_hi, t_lo, bases, k=k, h_bits=h_bits, salt=salt)
+    return _stats_from_masks(hit, valid, remaining)
 
 
 def _extract(bases, *, k):
@@ -266,6 +338,16 @@ def _hit_masks_bucket(rows, bases, *, k, h_bits, salt):
     win = canonical_windows(jnp.asarray(bases), k)
     found, _, _ = bucket_lookup(rows, h_bits, salt, win.hi, win.lo)
     return found & win.valid, win.valid
+
+
+def _hit_accum_bucket(acc, rows, bases, *, k, h_bits, salt):
+    hit, valid = _hit_masks_bucket(rows, bases, k=k, h_bits=h_bits, salt=salt)
+    return _accum_from_masks(acc, hit, valid)
+
+
+def _hit_stats_bucket(rows, bases, remaining, *, k, h_bits, salt):
+    hit, valid = _hit_masks_bucket(rows, bases, k=k, h_bits=h_bits, salt=salt)
+    return _stats_from_masks(hit, valid, remaining)
 
 
 def _classify_step_bucket(rows, bases, boundaries, *, k, h_bits, salt, max_reads):

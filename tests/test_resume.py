@@ -171,6 +171,64 @@ def test_multi_detect_checkpoint_fresh_and_resume(tmp_path):
         assert _read_gz(cp) == _read_gz(rp)
 
 
+def test_detect_staged_error_matches_sequential(tmp_path, monkeypatch, capsys):
+    """The staged (checkpointed) path keeps the sequential loop's failure
+    semantics: earlier samples' output present, the failing sample's
+    diagnostics printed, exit 1, later samples (and later warnings)
+    discarded — and a resume after fixing the input completes to the
+    uninterrupted bytes."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    from strainer2_tpu.pipeline.detect import run_detect
+
+    missing = tmp_path / "missing.fa.gz"
+    batch = tmp_path / "targets_bad.txt"
+    with open("data/targets.txt") as f:
+        lines = [ln for ln in f if ln.strip() and not ln.startswith("#")]
+    batch.write_text(lines[0] + f"SE\t{missing}\n" + "YY\twhatever\n" + lines[1])
+
+    # sequential (non-staged) expectation
+    hits_seq = str(tmp_path / "seq.gz")
+    out_seq = io.StringIO()
+    with _pytest.raises(SystemExit) as exc:
+        run_detect("data/strainA.fna.gz", "expected/scrubbed_m05.txt", hits_seq,
+                   stdout=out_seq, batch_list=str(batch))
+    assert (exc.value.code or 0) == 1
+    err_seq = capsys.readouterr().err
+    with _gzip.open(hits_seq, "rb") as f:
+        payload_seq = f.read()
+
+    hits_st = str(tmp_path / "staged.gz")
+    out_st = io.StringIO()
+    with _pytest.raises(SystemExit) as exc:
+        run_detect("data/strainA.fna.gz", "expected/scrubbed_m05.txt", hits_st,
+                   stdout=out_st, batch_list=str(batch),
+                   checkpoint_dir=str(tmp_path / "ckpt"))
+    assert (exc.value.code or 0) == 1
+    assert capsys.readouterr().err == err_seq
+    with _gzip.open(hits_st, "rb") as f:
+        assert f.read() == payload_seq
+    assert out_st.getvalue() == out_seq.getvalue()
+    assert "YY" not in out_st.getvalue()  # warning after the failure never prints
+
+    # fix the input; resume completes without rescoring the first sample
+    import shutil
+
+    src = lines[1].split("\t")[1].strip()
+    shutil.copy(src, missing)
+    expected_hits = str(tmp_path / "full.gz")
+    run_detect("data/strainA.fna.gz", "expected/scrubbed_m05.txt", expected_hits,
+               stdout=io.StringIO(), batch_list=str(batch))
+    resumed = str(tmp_path / "resumed.gz")
+    run_detect("data/strainA.fna.gz", "expected/scrubbed_m05.txt", resumed,
+               stdout=io.StringIO(), batch_list=str(batch),
+               checkpoint_dir=str(tmp_path / "ckpt"))
+    with _gzip.open(expected_hits, "rb") as a, _gzip.open(resumed, "rb") as b:
+        assert a.read() == b.read()
+
+
 def test_detect_index_cache_identical(tmp_path):
     import gzip
 

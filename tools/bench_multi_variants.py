@@ -59,6 +59,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from strainer2_tpu.pipeline.engine import _maybe_enable_compile_cache
+
+    _maybe_enable_compile_cache()  # repeated invocations skip the jit compiles
+
     from strainer2_tpu.index.bucket import build_bucket_table
     from strainer2_tpu.ops.lookup import bucket_lookup_words
     from strainer2_tpu.ops.packing import canonical_codes_np, canonical_windows
@@ -102,16 +106,19 @@ def main() -> None:
     lookups_per_step = ROWS * width
     boundaries_dev = jnp.arange(ROWS + 1, dtype=jnp.int32) * width
 
-    def probe(bi):
+    def probe(rows, bi):
+        # rows rides in as a jit ARGUMENT: a closure would embed the
+        # ~1 GB table as an XLA constant and the compile takes minutes
+        # (the CLAUDE.md "never put big arrays in jit closures" rule)
         win = canonical_windows(bi, K)
         found, _, words = bucket_lookup_words(
-            rows_dev, h_bits, salt, win.hi, win.lo, n_words
+            rows, h_bits, salt, win.hi, win.lo, n_words
         )
         hit = (found & win.valid).reshape(-1)
         return hit, [w.reshape(-1) for w in words]
 
-    def body_gather(bi):
-        hit, words = probe(bi)
+    def body_gather(rows, bi):
+        hit, words = probe(rows, bi)
         acc = jnp.where(hit, words[0], 0)
         for w in words[1:]:
             acc = acc ^ w
@@ -123,8 +130,8 @@ def main() -> None:
         i = ((masked[:, None] >> (shifts[None, :] + 1)) & 1).astype(dtype)
         return p, i
 
-    def body_expand_only(bi):
-        hit, words = probe(bi)
+    def body_expand_only(rows, bi):
+        hit, words = probe(rows, bi)
         tot = jnp.uint32(0)
         for j, w in enumerate(words):
             n_j = min(16, S - 16 * j)
@@ -135,8 +142,8 @@ def main() -> None:
             tot += jnp.sum(i, dtype=jnp.int32).astype(jnp.uint32)
         return tot
 
-    def _full(bi, dtype):
-        hit, words = probe(bi)
+    def _full(rows, bi, dtype):
+        hit, words = probe(rows, bi)
         ps, infs = [], []
         for j, w in enumerate(words):
             n_j = min(16, S - 16 * j)
@@ -157,15 +164,15 @@ def main() -> None:
         inf = cum_inf[b1] - cum_inf[b0]
         return (jnp.sum(tot) + jnp.sum(inf)).astype(jnp.uint32)
 
-    def body_full_i32(bi):
-        return _full(bi, jnp.int32)
+    def body_full_i32(rows, bi):
+        return _full(rows, bi, jnp.int32)
 
-    def body_full_i8(bi):
-        return _full(bi, jnp.int8)
+    def body_full_i8(rows, bi):
+        return _full(rows, bi, jnp.int8)
 
-    def body_full_fused(bi):
+    def body_full_fused(rows, bi):
         # one interleaved (Q, 2S) plane: lane 2s = present_s, 2s+1 = informative_s
-        hit, words = probe(bi)
+        hit, words = probe(rows, bi)
         planes = []
         for j, w in enumerate(words):
             n_j = min(16, S - 16 * j)
@@ -181,10 +188,10 @@ def main() -> None:
         seg = cum[b1] - cum[b0]  # (R, 2S)
         return (jnp.sum(seg[:, 0::2]) + jnp.sum(seg[:, 1::2])).astype(jnp.uint32)
 
-    def body_full_chunked(bi):
+    def body_full_chunked(rows, bi):
         from strainer2_tpu.ops.segsum import boundary_strain_sums
 
-        hit, words = probe(bi)
+        hit, words = probe(rows, bi)
         masked = []
         for j, w in enumerate(words):
             if min(16, S - 16 * j) <= 0:
@@ -195,10 +202,10 @@ def main() -> None:
 
     def make_chain(body, n):
         @jax.jit
-        def chain(b):
+        def chain(rows, b):
             def step(i, carry):
                 bi = jax.lax.dynamic_index_in_dim(b, i % SLICES, keepdims=False)
-                return carry + body(bi)
+                return carry + body(rows, bi)
 
             return jax.lax.fori_loop(0, n, step, jnp.uint32(0))
 
@@ -207,9 +214,9 @@ def main() -> None:
     def measure(body, name):
         def run(n):
             f = make_chain(body, n)
-            total = int(np.asarray(f(bases_dev)))
+            total = int(np.asarray(f(rows_dev, bases_dev)))
             t0 = time.time()
-            total = int(np.asarray(f(bases_dev)))
+            total = int(np.asarray(f(rows_dev, bases_dev)))
             return time.time() - t0, total
 
         d_short, s_short = run(N_SHORT)
