@@ -16,12 +16,16 @@ hit/miss mix:
   multi32 — the 32-strain pass: the row's TWO 16-lane meta blocks carry 64
             meta bits per key (bucket_lookup_wide), so one serialized
             access answers 32 strains.
-  multi96 — the widest pass (MAX_STRAINS_PER_PASS): 128-lane rows carry
-            SIX meta blocks (192 meta bits per key, bucket_lookup_words),
-            so one serialized access answers 96 strains.  Slice width is
-            nearly free next to the per-index access, so this is the
-            per-chip path to the >=1e9 lookups/s north star: one v5e chip
-            does the membership work the reference needs 96 cores for.
+  multi96 — the 96-strain pass: 128-lane rows carry SIX meta blocks
+            (192 meta bits per key, bucket_lookup_words), so one
+            serialized access answers 96 strains.
+  multi256 — the widest pass (MAX_STRAINS_PER_PASS): 288-lane rows carry
+            SIXTEEN meta blocks (512 meta bits per key), so one
+            serialized access answers 256 strains.  Slice width stays
+            cheap next to the per-index access (measured sweep in
+            docs/PERFORMANCE.md), so this is the per-chip path to the
+            >=1e9 lookups/s north star: one v5e chip does the membership
+            work the reference needs 256 cores for.
 
 Methodology (docs/PERFORMANCE.md "Measurement caveats"): each step runs
 inside a jitted lax.fori_loop whose body depends on the loop counter (so
@@ -52,7 +56,8 @@ ROWS, ROW_LEN = 512, 4096
 INDEX_KMERS = 6_700_000
 N_STRAINS = 16
 N_STRAINS_WIDE = 32
-N_STRAINS_XWIDE = 96  # pipeline.multi_detect.MAX_STRAINS_PER_PASS
+N_STRAINS_XWIDE = 96
+N_STRAINS_XXWIDE = 256  # pipeline.multi_detect.MAX_STRAINS_PER_PASS
 SLICES = 4  # LICM-defeating rotation of input batches
 N_SHORT, N_LONG = 4, 36  # chain lengths (both multiples of SLICES)
 
@@ -73,6 +78,13 @@ def main() -> None:
     from strainer2_tpu.ops.segsum import boundary_strain_sums
 
     rng = np.random.default_rng(7)
+
+    # Connect the backend BEFORE the timed build: from_scan_codes consults
+    # default_layout() (backend-dependent), and the FIRST backend touch on
+    # a relay-attached TPU is a multi-second handshake that round 2's
+    # artifact mis-attributed to "index build" (10.7s reported; the actual
+    # unique+table build is <1s — see docs/PERFORMANCE.md "Index build").
+    dev0 = jax.devices()[0]
 
     # strain-scale index, built host-side (cold path; keeps the benchmark
     # loop free of bulk device<->host traffic)
@@ -124,6 +136,14 @@ def main() -> None:
         for _ in range(n_xwords)
     ]
     rows96_dev = jnp.asarray(t96.with_meta_words(words96))
+    # 256-strain rows: 288-lane rows, 16 meta blocks (512 strain bits/key)
+    n_xxwords = N_STRAINS_XXWIDE // 16
+    t256 = build_bucket_table(index.codes, K, row_width=32 + 16 * n_xxwords)
+    words256 = [
+        rng.integers(0, 1 << 32, size=t256.num_slots, dtype=np.uint64).astype(np.uint32)
+        for _ in range(n_xxwords)
+    ]
+    rows256_dev = jnp.asarray(t256.with_meta_words(words256))
 
     # query slices: half genome-derived rows (hits), half random (misses)
     bases = rng.integers(0, 4, size=(SLICES, ROWS, ROW_LEN), dtype=np.uint8)
@@ -189,6 +209,16 @@ def main() -> None:
         tot, inf = boundary_strain_sums(masked, boundaries_dev, N_STRAINS_XWIDE)
         return (jnp.sum(tot) + jnp.sum(inf)).astype(jnp.uint32)
 
+    def multi256_body(rows, bi, _carry):
+        win = canonical_windows(bi, K)
+        found, _, words = bucket_lookup_words(
+            rows, t256.h_bits, t256.salt, win.hi, win.lo, n_xxwords
+        )
+        hit = (found & win.valid).reshape(-1)
+        masked = [jnp.where(hit, w.reshape(-1), 0) for w in words]
+        tot, inf = boundary_strain_sums(masked, boundaries_dev, N_STRAINS_XXWIDE)
+        return (jnp.sum(tot) + jnp.sum(inf)).astype(jnp.uint32)
+
     def make_chain(body, n, carry0):
         @jax.jit
         def chain(rows, b):
@@ -240,7 +270,7 @@ def main() -> None:
 
     print(
         f"# index build {build_s:.1f}s ({index.num_kmers} kmers) on "
-        f"{jax.devices()[0].platform}",
+        f"{dev0.platform}",
         file=sys.stderr,
     )
 
@@ -257,10 +287,14 @@ def main() -> None:
     multi96_rate = measure(
         lambda n: make_chain(multi96_body, n, jnp.uint32(0)), rows96_dev, "multi96"
     )
+    multi256_rate = measure(
+        lambda n: make_chain(multi256_body, n, jnp.uint32(0)), rows256_dev, "multi256"
+    )
     candidates = {
         N_STRAINS: multi_rate * N_STRAINS,
         N_STRAINS_WIDE: multi32_rate * N_STRAINS_WIDE,
         N_STRAINS_XWIDE: multi96_rate * N_STRAINS_XWIDE,
+        N_STRAINS_XXWIDE: multi256_rate * N_STRAINS_XXWIDE,
     }
     best_s = max(candidates, key=candidates.get)
     effective = candidates[best_s]
@@ -277,6 +311,7 @@ def main() -> None:
                 "multi16_windows_per_s": round(multi_rate),
                 "multi32_windows_per_s": round(multi32_rate),
                 "multi96_windows_per_s": round(multi96_rate),
+                "multi256_windows_per_s": round(multi256_rate),
                 "n_strains_per_pass": best_s,
                 "note": (
                     f"effective = best multi-strain windows/s x strains "

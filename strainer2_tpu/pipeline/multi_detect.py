@@ -2,7 +2,7 @@
 
 The reference scores one strain per process and re-reads every target
 metagenome once per strain (Snakemake fan-out, SURVEY.md §2.7).  Here up
-to 96 strains share one union membership table: two bits per strain
+to 256 strains share one union membership table: two bits per strain
 (present, informative) pack across the bucket row's 16-lane meta blocks
 (16 strains per block, ceil(S/16) blocks per row, all resolved by the
 same single gather — ops.lookup.bucket_lookup_words), so a single stream
@@ -39,12 +39,16 @@ from strainer2_tpu.pipeline.engine import KmerEngine
 
 __all__ = ["MultiStrainDetector", "MAX_STRAINS_PER_PASS"]
 
-MAX_STRAINS_PER_PASS = 96  # 2 meta bits per strain, 16 strains per 16-lane
-# meta block; a 96-strain pass uses 128-lane rows (6 meta blocks, 192 meta
+MAX_STRAINS_PER_PASS = 256  # 2 meta bits per strain, 16 strains per 16-lane
+# meta block; a 256-strain pass uses 288-lane rows (16 meta blocks, 512 meta
 # bits/key; ops.lookup.bucket_lookup_words) — the same single gathered row
-# answers all 96 strains, because slice width is nearly free next to the
-# serialized per-index access (docs/PERFORMANCE.md).  The cap is where the
-# per-window expand+cumsum vector work stops amortizing on v5e.
+# answers all 256 strains, because slice width is nearly free next to the
+# serialized per-index access (docs/PERFORMANCE.md).  The cap is set by the
+# measured v5e sweep (docs/PERFORMANCE.md "Classify vector-program
+# ablation": effective strain-lookups/s climbs 5.1G@96 -> 7.5G@256 but
+# only +5.7% more by 384) — past 256 the gain no longer pays for the
+# linear growth in per-pass HBM (rows leave the ~1 KiB regime) and union
+# build cost.
 
 
 @dataclass

@@ -216,6 +216,37 @@ def test_multi_strain_xwide_pass_matches_single_runs(tmp_path):
             assert f.read() == singles[i], f"strain {i} differs (native path)"
 
 
+def test_multi_strain_beyond_96_pass_matches_single_runs(tmp_path):
+    """A 130-strain single pass (9 meta blocks — beyond the round-2 cap of
+    96 / 6 blocks) stays byte-identical to per-strain runs; probes cover
+    word indices 0, 3, 6, and 8."""
+    from strainer2_tpu.pipeline.detect import run_detect
+    from strainer2_tpu.pipeline.multi_detect import (
+        MAX_STRAINS_PER_PASS,
+        MultiStrainDetector,
+    )
+
+    assert MAX_STRAINS_PER_PASS >= 130
+    genomes = ["data/strainA.fna.gz", "data/panel1.fna.gz", "data/panel2.fna"]
+    a_files = {
+        g: _informative_subset(tmp_path, g, every=3 + j)
+        for j, g in enumerate(genomes)
+    }
+    strains = [(genomes[i % 3], a_files[genomes[i % 3]]) for i in range(130)]
+
+    det = MultiStrainDetector(strains)
+    assert det.table.table.shape[1] == 32 + 16 * 9  # 9 meta blocks
+    outs = [str(tmp_path / f"b96_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+
+    for probe in (0, 55, 100, 129):  # words 0, 3, 6, 8
+        r, a = strains[probe]
+        p = str(tmp_path / f"b96_single_{probe}.gz")
+        run_detect(r, a, p, batch_list="data/targets.txt")
+        with gzip.open(p, "rb") as f, gzip.open(outs[probe], "rb") as g:
+            assert g.read() == f.read(), f"strain {probe} differs"
+
+
 def test_multi_strain_xwide_jit_path_matches_native(tmp_path, monkeypatch):
     """Same 40-strain pass on the jit bucket_lookup_words path."""
     from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
