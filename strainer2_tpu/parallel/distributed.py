@@ -37,11 +37,31 @@ def initialize(coordinator_address: str | None = None,
                process_id: int | None = None) -> tuple[int, int]:
     """jax.distributed bring-up; no-ops gracefully for single-process runs.
 
-    Returns (process_index, process_count).
+    The CLI contract (run_detect / run_scrub_count docstrings): set
+    JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES + JAX_PROCESS_ID, one
+    process per host.  This jax version's `distributed.initialize` only
+    auto-detects managed clusters (SLURM etc.), not these env vars, so
+    they are read here.  Returns (process_index, process_count).
     """
     import jax
 
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+            num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+        if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+            process_id = int(os.environ["JAX_PROCESS_ID"])
+        # The CPU collective backend (Gloo) prints a connection banner to
+        # raw fd 1 — lazily, at the FIRST collective, not at bring-up —
+        # which would corrupt the byte-exact stdout contract of the CLIs.
+        # Permanently route fd 1 to stderr and rebind Python's sys.stdout
+        # to the original stream: every repo output path writes through
+        # Python file objects (no direct fd-1 writes), so CLI bytes are
+        # unaffected while native-level chatter lands on stderr.
+        import sys
+
+        sys.stdout.flush()
+        saved_fd1 = os.dup(1)
+        os.dup2(2, 1)
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
@@ -49,10 +69,20 @@ def initialize(coordinator_address: str | None = None,
                 process_id=process_id,
             )
         except RuntimeError as e:
+            os.dup2(saved_fd1, 1)
+            os.close(saved_fd1)
             # idempotent across pipeline invocations in one process (e.g. a
-            # driver looping run_scrub_count over strains)
+            # driver looping run_scrub_count over strains; an earlier call
+            # owns the redirect)
             if "already" not in str(e).lower():
                 raise
+        else:
+            if sys.stdout is sys.__stdout__:
+                sys.stdout = os.fdopen(saved_fd1, "w")
+            else:
+                # replaced stream (test capture, explicit sink): it does not
+                # sit on fd 1, so just keep the original fd alive unused
+                os.set_inheritable(saved_fd1, False)
     return jax.process_index(), jax.process_count()
 
 

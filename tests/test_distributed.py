@@ -426,3 +426,59 @@ def test_fused_pipeline_two_real_processes(tmp_path):
 
     r1 = tmp_path / "fused_out_1"
     assert not any(_os.scandir(r1)) if r1.exists() else True
+
+
+def test_env_var_cli_bringup_two_processes(tmp_path):
+    """The documented user launch path: JAX_COORDINATOR_ADDRESS +
+    JAX_NUM_PROCESSES + JAX_PROCESS_ID env vars, one strain_detect CLI
+    process per rank — payload AND stdout byte-identical to one process
+    (the Gloo banner that the CPU collective backend prints to raw fd 1
+    at the first collective must not leak into the output contract)."""
+    import gzip as _gzip
+
+    mini = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "golden", "mini"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    base_env = {
+        k_: v
+        for k_, v in os.environ.items()
+        if k_ not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    base_env["PYTHONPATH"] = repo
+    base_env["JAX_PLATFORMS"] = "cpu"
+
+    cli = [sys.executable, "-m", "strainer2_tpu.cli.strain_detect",
+           "-r", "data/strainA.fna.gz", "-a", "expected/scrubbed_m05.txt",
+           "-B", "data/targets.txt"]
+
+    ref = subprocess.run(
+        cli + ["-o", str(tmp_path / "ref.gz")],
+        cwd=mini, env=base_env, capture_output=True, timeout=180,
+    )
+    assert ref.returncode == 0, ref.stderr.decode(errors="replace")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    procs = []
+    for pid in range(2):
+        env = dict(base_env)
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            cli + ["-o", str(tmp_path / "spmd.gz")],
+            cwd=mini, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        ))
+    outs = [p.communicate(timeout=180) for p in procs]
+    for p, (out, errs) in zip(procs, outs):
+        assert p.returncode == 0, errs.decode(errors="replace")
+
+    assert outs[0][0] == ref.stdout  # rank 0 stdout byte-exact, no banner
+    assert outs[1][0] == b""  # rank 1 silent
+    with _gzip.open(tmp_path / "ref.gz", "rb") as a, \
+            _gzip.open(tmp_path / "spmd.gz", "rb") as b:
+        assert a.read() == b.read()

@@ -221,7 +221,11 @@ def main() -> None:
 
         d_short, s_short = run(N_SHORT)
         d_long, s_long = run(n_long)
-        linear = s_short * n_long == s_long * N_SHORT and s_long != 0
+        # modulo 2^32: the uint32 accumulator legitimately wraps at wide S
+        linear = (
+            (s_short * n_long - s_long * N_SHORT) % (1 << 32) == 0
+            and s_long != 0
+        )
         per_step = max((d_long - d_short) / (n_long - N_SHORT), 1e-9)
         rate = lookups_per_step / per_step
         print(
