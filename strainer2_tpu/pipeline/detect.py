@@ -317,13 +317,16 @@ def _staged_quantify(entries, run_one, new_sink, payload_of, emit, stdout,
         # written the failing sample's rows to the stream when it raises
         return payload_of(sink), token, (ebuf.getvalue() if ebuf else "")
 
+    from strainer2_tpu.utils.observability import stage
+
     threads = _detect_threads(len(todo)) if pool_ok else 1
     if threads > 1 and len(todo) > 1:
         tee = _ThreadStderrTee(sys.stderr)
         old_stderr = sys.stderr
         sys.stderr = tee
         try:
-            with concurrent.futures.ThreadPoolExecutor(threads) as ex:
+            with stage("detect.score_samples"), \
+                    concurrent.futures.ThreadPoolExecutor(threads) as ex:
                 futs: deque = deque()
                 idx = 0
                 try:
@@ -346,13 +349,14 @@ def _staged_quantify(entries, run_one, new_sink, payload_of, emit, stdout,
         finally:
             sys.stderr = old_stderr
     else:
-        for o, key in todo:
-            payloads, token, _ = work(o, samples[o])
-            results[o] = (payloads, token)
-            if token != ("ok",):
-                break
-            if ckpt is not None:
-                ckpt.record(o, key, payloads)
+        with stage("detect.score_samples"):
+            for o, key in todo:
+                payloads, token, _ = work(o, samples[o])
+                results[o] = (payloads, token)
+                if token != ("ok",):
+                    break
+                if ckpt is not None:
+                    ckpt.record(o, key, payloads)
 
     if pcount > 1:
         import json
@@ -360,6 +364,8 @@ def _staged_quantify(entries, run_one, new_sink, payload_of, emit, stdout,
 
         from strainer2_tpu.parallel.distributed import gather_blobs
 
+        gather_ctx = stage("detect.gather_payloads")
+        gather_ctx.__enter__()
         ordinals = sorted(results.keys())
         raws: list[bytes] = []
         lengths: list[list[int]] = []
@@ -385,6 +391,7 @@ def _staged_quantify(entries, run_one, new_sink, payload_of, emit, stdout,
                     off += n
                 merged[o] = (ps, tuple(tok))
         results = merged
+        gather_ctx.__exit__(None, None, None)
 
     # replay in batch-list order; rank 0 owns the observable streams
     si = 0
@@ -738,6 +745,8 @@ class StrainDetector:
             return
         if pcount > 1 and pidx != 0:
             return  # single-sample mode: rank 0 owns the only sample
+        from strainer2_tpu.utils.observability import stage
+
         with gzip.open(out_path, "wt", compresslevel=9) as out:
             if batch_list is not None:
                 entries = _parse_batch_entries(batch_list)
@@ -747,24 +756,26 @@ class StrainDetector:
                 if nc is not None and n_samples > 1 and threads > 1:
                     import io
 
-                    _run_sample_pool(
-                        entries, threads,
-                        io.StringIO,
-                        lambda args, buf: self._quantify_sample_native(
-                            nc, *args, buf
-                        ),
-                        lambda buf: buf.getvalue(),
-                        out.write, self.stdout,
-                    )
+                    with stage("detect.score_samples"):
+                        _run_sample_pool(
+                            entries, threads,
+                            io.StringIO,
+                            lambda args, buf: self._quantify_sample_native(
+                                nc, *args, buf
+                            ),
+                            lambda buf: buf.getvalue(),
+                            out.write, self.stdout,
+                        )
                 else:
                     # stdout warnings interleave with samples exactly as the
                     # reference's streaming loop emits them (an error run
                     # never reaches later lines' warnings)
-                    for kind, val in entries:
-                        if kind == "msg":
-                            self.stdout.write(val)
-                        else:
-                            self._quantify_sample(*val, out)
+                    with stage("detect.score_samples"):
+                        for kind, val in entries:
+                            if kind == "msg":
+                                self.stdout.write(val)
+                            else:
+                                self._quantify_sample(*val, out)
             else:
                 self._quantify_sample(b_file, b_file2, file_type, out)
 
