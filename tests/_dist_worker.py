@@ -101,6 +101,23 @@ def main() -> None:
         )
         return
 
+    if mode == "multi":
+        # fused MULTI-strain pipeline in SPMD mode: shared panel scan and
+        # the multi-strain detection passes both partition across ranks
+        from strainer2_tpu.pipeline.fused import run_multi_pipeline
+
+        run_multi_pipeline(
+            [
+                os.path.join(workdir, "genome.fa"),
+                os.path.join(workdir, "genome2.fa"),
+            ],
+            os.path.join(workdir, "panels.txt"),
+            os.path.join(workdir, "panels.txt"),
+            os.path.join(workdir, "targets.txt"),
+            os.path.join(workdir, f"multi_out_{pid}"),
+        )
+        return
+
     k = 31
     rows, row_len = 8, 512
     engine = KmerEngine(k)

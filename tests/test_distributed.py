@@ -428,6 +428,72 @@ def test_fused_pipeline_two_real_processes(tmp_path):
     assert not any(_os.scandir(r1)) if r1.exists() else True
 
 
+def test_fused_multi_pipeline_two_real_processes(tmp_path):
+    """The fused MULTI-strain pipeline (`strainer2_tools pipeline-multi`)
+    in SPMD mode: the shared panel scan and the multi-strain detection
+    passes both partition across 2 real jax.distributed ranks, and rank 0
+    produces every per-strain artifact byte-identical to a single-process
+    run; rank 1 produces none."""
+    rng = np.random.default_rng(61)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = [
+        alpha[rng.integers(0, 4, size=2500)].tobytes().decode() for _ in range(2)
+    ]
+    _write_fasta(tmp_path / "genome.fa", [genomes[0]])
+    _write_fasta(tmp_path / "genome2.fa", [genomes[1]])
+    panels = []
+    for j in range(4):
+        reads = []
+        for _ in range(30):
+            r = rng.random()
+            if r < 0.6:  # reads from one of the strains -> guaranteed hits
+                g = genomes[int(rng.integers(0, 2))]
+                start = int(rng.integers(0, len(g) - 70))
+                reads.append(g[start : start + 70])
+            else:
+                reads.append(alpha[rng.integers(0, 4, size=70)].tobytes().decode())
+        p = tmp_path / f"panel_{j}.fa"
+        _write_fasta(p, reads)
+        panels.append(str(p))
+    with open(tmp_path / "panels.txt", "w") as f:
+        f.write("\n".join(panels) + "\n")
+    with open(tmp_path / "targets.txt", "w") as f:
+        # several samples so the SPMD detection phase actually partitions
+        f.write(f"SE\t{panels[0]}\n")
+        f.write(f"SE\t{panels[1]}\n")
+        f.write(f"PE\t{panels[2]}\t{panels[3]}\n")
+
+    from strainer2_tpu.pipeline.fused import run_multi_pipeline
+
+    ref_paths = run_multi_pipeline(
+        [str(tmp_path / "genome.fa"), str(tmp_path / "genome2.fa")],
+        str(tmp_path / "panels.txt"), str(tmp_path / "panels.txt"),
+        str(tmp_path / "targets.txt"), str(tmp_path / "multi_ref"),
+    )
+
+    _launch_scrub_workers(tmp_path, "multi")
+    import gzip as _gzip
+
+    n_checked = 0
+    for strain_paths in ref_paths:
+        for key, ref_p in strain_paths.items():
+            if ref_p is None:
+                continue
+            got_p = ref_p.replace("multi_ref", "multi_out_0")
+            if ref_p.endswith(".gz"):
+                with _gzip.open(ref_p, "rb") as a, _gzip.open(got_p, "rb") as b:
+                    assert a.read() == b.read(), key
+            else:
+                with open(ref_p, "rb") as a, open(got_p, "rb") as b:
+                    assert a.read() == b.read(), key
+            n_checked += 1
+    assert n_checked >= 6  # counts/scrubbed/hits/coverage x 2 strains
+    import os as _os
+
+    r1 = tmp_path / "multi_out_1"
+    assert not any(_os.scandir(r1)) if r1.exists() else True
+
+
 def test_env_var_cli_bringup_two_processes(tmp_path):
     """The documented user launch path: JAX_COORDINATOR_ADDRESS +
     JAX_NUM_PROCESSES + JAX_PROCESS_ID env vars, one strain_detect CLI
