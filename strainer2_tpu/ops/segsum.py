@@ -118,11 +118,24 @@ def boundary_strain_sums(masked_words, boundaries, n_strains, *, chunk=DEFAULT_C
 
     Returns (tot, inf): two (R, S) int32 arrays.
 
+    chunk must stay < 65536: the SWAR counters widen fields to 16-bit
+    slots at most, so a chunk's per-field total (<= chunk) past 65535
+    would carry into the neighboring strain's slot and silently corrupt
+    counts.  Guarded here so an out-of-range chunk fails loudly.
+
     STRAINER2_SEGSUM=expand restores the bit-expanded chunk reduction for
     A/B checks (default: the SWAR vertical counters, same integers).
+    NOTE: the variable is read at *trace* time — under jit a warm cache
+    keeps the path chosen at first trace, so set it before the first call
+    of the process (or use a fresh jitted callable per setting, as
+    tests/test_segsum.py does) when A/B-comparing within one process.
     """
     import jax.numpy as jnp
 
+    if not 1 <= chunk < 65536:
+        raise ValueError(
+            f"chunk must be in [1, 65535] (16-bit SWAR slot cap), got {chunk}"
+        )
     swar = os.environ.get("STRAINER2_SEGSUM", "swar") != "expand"
     q = masked_words[0].shape[0]
     n_chunks = -(-q // chunk) if q else 1

@@ -4,6 +4,12 @@ The two-level chunked prefix must produce identical integer totals for
 every boundary layout: chunk-aligned, unaligned, empty reads, Q an exact
 chunk multiple, partial last meta word, dense (read < chunk) and sparse
 (read >> chunk) boundaries.
+
+Every case runs under BOTH vector-program bodies — the SWAR vertical
+counters (default) and the bit-expanded A/B control
+(STRAINER2_SEGSUM=expand) — so the env switch stays a real control.  The
+flag is read at trace time; each case jits a fresh lambda, so the
+per-parametrization setenv takes effect despite jit caching.
 """
 
 import numpy as np
@@ -13,6 +19,12 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 
 from strainer2_tpu.ops.segsum import boundary_strain_sums
+
+
+@pytest.fixture(params=["swar", "expand"], autouse=True)
+def segsum_mode(request, monkeypatch):
+    monkeypatch.setenv("STRAINER2_SEGSUM", request.param)
+    return request.param
 
 
 def _reference(masked_words, boundaries, n_strains):
@@ -86,3 +98,13 @@ def test_shape_edges(q, chunk):
 def test_single_read_whole_batch():
     rng = np.random.default_rng(5)
     _case(rng, 777, 16, np.array([0, 777], dtype=np.int32), chunk=128)
+
+
+@pytest.mark.parametrize("chunk", [0, -1, 65536, 1 << 20])
+def test_out_of_range_chunk_rejected(chunk):
+    """chunk >= 2**16 would overflow the 16-bit SWAR slots (silent count
+    corruption); the guard must fail loudly instead."""
+    w = [jnp.zeros(8, dtype=jnp.uint32)]
+    b = jnp.array([0, 8], dtype=jnp.int32)
+    with pytest.raises(ValueError, match="chunk"):
+        boundary_strain_sums(w, b, 4, chunk=chunk)
