@@ -135,8 +135,9 @@ def main(argv: list[str] | None = None) -> int:
 
         from strainer2_tpu.pipeline.fused import _stem
         from strainer2_tpu.pipeline.multi_detect import (
-            MAX_STRAINS_PER_PASS,
             MultiStrainDetector,
+            estimate_genome_kmers,
+            plan_strain_passes,
         )
 
         strains = []
@@ -147,13 +148,22 @@ def main(argv: list[str] | None = None) -> int:
                     strains.append((r, a))
         os.makedirs(args.out_dir, exist_ok=True)
         cfg = None
+        n_index = 1
         if args.mesh:
             from strainer2_tpu.pipeline.detect import DetectConfig
 
             d, i = args.mesh.lower().split("x")
             cfg = DetectConfig(mesh=(int(d), int(i)))
-        for start in range(0, len(strains), MAX_STRAINS_PER_PASS):
-            chunk = strains[start : start + MAX_STRAINS_PER_PASS]
+            n_index = int(i)
+        # passes sized by strain count AND projected union row-table
+        # bytes (indexes aren't built yet, so plan from uncompressed
+        # genome sizes — an upper bound on distinct k-mers)
+        passes = plan_strain_passes(
+            [estimate_genome_kmers(r) for r, _ in strains],
+            index_shards=n_index,
+        )
+        for start, end in passes:
+            chunk = strains[start:end]
             det = MultiStrainDetector(chunk, cfg=cfg,
                                       background_list=args.background_list)
             outs = []

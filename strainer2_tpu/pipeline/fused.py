@@ -380,15 +380,20 @@ def run_multi_pipeline(
         prebuilt.append((r_file, index, informative))
         all_paths.append(paths)
 
-    for start in range(0, len(prebuilt), MAX_STRAINS_PER_PASS):
-        chunk = prebuilt[start : start + MAX_STRAINS_PER_PASS]
+    # passes sized by strain count AND projected union row-table bytes
+    # against the device budget (multi_detect.plan_strain_passes; exact
+    # per-strain index sizes are known here)
+    from strainer2_tpu.pipeline.multi_detect import plan_strain_passes
+
+    for start, end in plan_strain_passes([idx.num_kmers for _, idx, _ in prebuilt]):
+        chunk = prebuilt[start:end]
         det = MultiStrainDetector(
             [], DetectConfig(k=cfg.k),
             stdout=stdout if stdout is not None else sys.stdout,
             background_list=background_list, prebuilt=chunk,
         )
         det.quantify_all(
-            [p["hits"] for p in all_paths[start : start + len(chunk)]], target_list
+            [p["hits"] for p in all_paths[start:end]], target_list
         )
 
     if pcount > 1 and pidx != 0:

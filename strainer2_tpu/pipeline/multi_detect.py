@@ -18,6 +18,7 @@ Strains beyond MAX_STRAINS_PER_PASS are processed in chunks by the caller.
 from __future__ import annotations
 
 import gzip
+import os
 import sys
 from dataclasses import dataclass
 from functools import partial
@@ -37,7 +38,14 @@ from strainer2_tpu.ops.packing import canonical_codes_np, decode_codes_np
 from strainer2_tpu.pipeline.detect import DetectConfig, StrainDetector
 from strainer2_tpu.pipeline.engine import KmerEngine
 
-__all__ = ["MultiStrainDetector", "MAX_STRAINS_PER_PASS"]
+__all__ = [
+    "MultiStrainDetector",
+    "MAX_STRAINS_PER_PASS",
+    "plan_strain_passes",
+    "projected_rows_bytes",
+    "device_mem_budget",
+    "estimate_genome_kmers",
+]
 
 MAX_STRAINS_PER_PASS = 256  # 2 meta bits per strain, 16 strains per 16-lane
 # meta block; a 256-strain pass uses 288-lane rows (16 meta blocks, 512 meta
@@ -49,6 +57,117 @@ MAX_STRAINS_PER_PASS = 256  # 2 meta bits per strain, 16 strains per 16-lane
 # only +5.7% more by 384) — past 256 the gain no longer pays for the
 # linear growth in per-pass HBM (rows leave the ~1 KiB regime) and union
 # build cost.
+#
+# The count cap alone cannot bound device memory: the union row table
+# costs num_buckets x row_width x 4 bytes (projected_rows_bytes), and 256
+# mostly-DISJOINT ~6.7M-k-mer strains union to ~1.7B keys — hundreds of
+# GiB of rows vs 16 GiB of v5e HBM.  Passes are therefore also sized by
+# projected bytes against the per-device budget (plan_strain_passes /
+# device_mem_budget, override with STRAINER2_DEVICE_MEM_BUDGET), and the
+# detector itself refuses an over-budget union with a clear error instead
+# of an opaque device OOM.
+
+DEVICE_MEM_BUDGET_ENV = "STRAINER2_DEVICE_MEM_BUDGET"
+
+
+def projected_rows_bytes(union_keys: int, n_strains: int) -> int:
+    """Projected bucket row-table bytes for a union of ``union_keys``
+    distinct k-mers carrying ``n_strains`` strains' meta bits.
+
+    Mirrors the build exactly (index/bucket.py build_bucket_table +
+    MultiStrainDetector row layout): row_width = 32 key lanes + 16 lanes
+    per meta block, ceil(S/16) blocks (min 2); num_buckets = 2**h_bits
+    with h_bits = ceil(log2(union/3.3)) (mean bucket load <= 3.3); 4
+    bytes per lane."""
+    n_words = max(2, -(-int(n_strains) // 16))
+    row_width = 32 + 16 * n_words
+    h_bits = max(4, int(np.ceil(np.log2(max(int(union_keys), 1) / 3.3))))
+    return (1 << h_bits) * row_width * 4
+
+
+def device_mem_budget() -> int | None:
+    """Per-device byte budget for the multi-strain row table, or None for
+    unbounded.  STRAINER2_DEVICE_MEM_BUDGET (bytes; float forms like 2e9
+    accepted) overrides; otherwise the CPU backend is unbounded (host RAM,
+    and the native classifier path never ships rows to a device) and
+    device backends use 75% of the reported HBM limit, falling back to
+    12 GiB (v5e carries 16 GiB)."""
+    env = os.environ.get(DEVICE_MEM_BUDGET_ENV)
+    if env:
+        return int(float(env))
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit") or 0)
+        if limit:
+            return int(limit * 0.75)
+    except Exception:
+        pass
+    return 12 * 2**30
+
+
+_UNSET = object()
+
+
+def plan_strain_passes(kmer_counts, *, max_strains=MAX_STRAINS_PER_PASS,
+                       budget=_UNSET, index_shards: int = 1):
+    """Split strains into contiguous passes bounded by BOTH the strain
+    count cap and the projected union row-table bytes.
+
+    kmer_counts: per-strain distinct-k-mer counts (or upper bounds — the
+    fused pipeline passes exact index sizes, the detect-multi CLI passes
+    uncompressed genome bytes via estimate_genome_kmers).  The union of a
+    pass is bounded above by the sum of its strains' counts, so sizing by
+    the sum is conservative: related strains (the common case) share most
+    k-mers and come in well under budget; disjoint strains hit the bound
+    exactly.
+
+    budget: per-device bytes (default device_mem_budget()); None disables
+    the byte bound.  index_shards: table shards on an index-sharded mesh —
+    the per-device share is bytes/index_shards, so the effective budget
+    multiplies.  Returns a list of (start, end) slice bounds covering
+    range(len(kmer_counts)).  A single strain projected over budget still
+    gets its own pass — the detector's hard check reports it with the
+    actual union size."""
+    if budget is _UNSET:
+        budget = device_mem_budget()
+    if budget is not None:
+        budget = int(budget) * max(1, int(index_shards))
+    passes = []
+    start = 0
+    n = len(kmer_counts)
+    while start < n:
+        end = start + 1
+        total = int(kmer_counts[start])
+        while end < n and end - start < max_strains:
+            t = total + int(kmer_counts[end])
+            if budget is not None and projected_rows_bytes(t, end - start + 1) > budget:
+                break
+            total = t
+            end += 1
+        passes.append((start, end))
+        start = end
+    return passes
+
+
+def estimate_genome_kmers(path: str) -> int:
+    """Upper-bound estimate of a genome's distinct canonical k-mers for
+    pass planning, without scanning: the uncompressed byte size (>= bases
+    >= windows >= distinct k-mers).  For .gz, the ISIZE trailer
+    (uncompressed length mod 2^32 — exact for genomes under 4 GiB;
+    multi-member files report only the last member, still fine for
+    planning); otherwise the file size."""
+    size = os.path.getsize(path)
+    if path.endswith(".gz") and size >= 20:
+        with open(path, "rb") as f:
+            f.seek(-4, 2)
+            isize = int.from_bytes(f.read(4), "little")
+        if isize:
+            return isize
+    return size
 
 
 @dataclass
@@ -134,6 +253,25 @@ class MultiStrainDetector:
         # ceil(S/16) meta blocks (min 2 = the default 64-lane row), all
         # resolved by the same single serialized gather
         self._n_words = max(2, -(-len(strains) // 16))
+        # refuse an over-budget union with a clear, actionable error
+        # instead of an opaque device OOM (the count cap alone cannot
+        # bound memory — see the note at MAX_STRAINS_PER_PASS)
+        budget = device_mem_budget()
+        if budget is not None:
+            shards = self.cfg.mesh[1] if self.cfg.mesh else 1
+            needed = projected_rows_bytes(union.shape[0], len(strains))
+            if needed > budget * shards:
+                raise RuntimeError(
+                    f"multi-strain union row table needs "
+                    f"{needed / 2**30:.2f} GiB ({union.shape[0]:,} union "
+                    f"keys, {len(strains)} strains) but the device memory "
+                    f"budget is {budget / 2**30:.2f} GiB"
+                    + (f" x {shards} index shards" if shards > 1 else "")
+                    + "; run fewer strains per pass "
+                    "(plan_strain_passes sizes passes from per-strain "
+                    "k-mer counts), shard the index over a larger mesh "
+                    f"(--mesh DxI), or raise {DEVICE_MEM_BUDGET_ENV}"
+                )
         self.table = build_bucket_table(
             union, k, row_width=32 + 16 * self._n_words
         )

@@ -29,6 +29,92 @@ def _informative_subset(tmp_path, genome, every=5):
     return str(p)
 
 
+def test_plan_strain_passes_splits_by_projected_bytes():
+    """Pass sizing obeys both the strain-count cap and the projected
+    union row-table bytes (num_buckets x row_width x 4) against the
+    device budget — synthetic disjoint unions force a split."""
+    from strainer2_tpu.pipeline.multi_detect import (
+        MAX_STRAINS_PER_PASS,
+        plan_strain_passes,
+        projected_rows_bytes,
+    )
+
+    counts = [6_700_000] * 8
+    # no byte budget: one pass (count cap permitting)
+    assert plan_strain_passes(counts, budget=None) == [(0, 8)]
+    # budget that fits exactly two disjoint strains' union per pass
+    b = projected_rows_bytes(2 * 6_700_000, 2)
+    assert plan_strain_passes(counts, budget=b) == [
+        (0, 2), (2, 4), (4, 6), (6, 8),
+    ]
+    # index sharding multiplies the effective budget
+    assert plan_strain_passes(counts, budget=b, index_shards=4) == [(0, 8)]
+    # a single over-budget strain still gets its own pass (the detector's
+    # hard check reports it with the actual union size)
+    assert plan_strain_passes([10**9], budget=1024) == [(0, 1)]
+    # the count cap still binds when bytes don't
+    assert plan_strain_passes([1] * 300, budget=None) == [
+        (0, MAX_STRAINS_PER_PASS), (MAX_STRAINS_PER_PASS, 300),
+    ]
+    # formula mirrors the build: 6.7M keys -> 2^21 64-lane rows
+    assert projected_rows_bytes(6_700_000, 2) == (1 << 21) * 64 * 4
+    assert projected_rows_bytes(6_700_000, 33) == (1 << 21) * 80 * 4
+    assert projected_rows_bytes(6_700_000, 256) == (1 << 21) * 288 * 4
+
+
+def test_union_over_budget_fails_loudly(tmp_path, monkeypatch):
+    """An over-budget union must raise an actionable error naming the
+    projected size and the budget env var, not device-OOM."""
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    monkeypatch.setenv("STRAINER2_DEVICE_MEM_BUDGET", "4096")
+    strains = [("data/strainA.fna.gz", "expected/scrubbed_m05.txt")]
+    with pytest.raises(RuntimeError, match="STRAINER2_DEVICE_MEM_BUDGET"):
+        MultiStrainDetector(strains)
+
+
+def test_budget_forced_split_passes_stay_byte_identical(tmp_path, monkeypatch):
+    """A budget that forces the fused multi pipeline into multiple
+    detection passes must not change a single output byte."""
+    import io
+
+    from strainer2_tpu.pipeline.fused import FusedConfig, run_multi_pipeline
+    from strainer2_tpu.pipeline.multi_detect import projected_rows_bytes
+
+    r_files = ["data/strainA.fna.gz", "data/panel1.fna.gz", "data/drug1.fna.gz"]
+
+    def run(out_dir):
+        return run_multi_pipeline(
+            r_files, "data/genomes.txt", "data/metagenomes.txt",
+            "data/targets.txt", str(out_dir),
+            fused_cfg=FusedConfig(min_fraction=0.05),
+            err=io.StringIO(), stdout=io.StringIO(),
+        )
+
+    base = run(tmp_path / "one_pass")
+    # budget = the largest single strain's projection: every strain still
+    # fits alone, but the 3-strain union cannot ride one pass
+    from strainer2_tpu.index.build import scan_file_codes
+    from strainer2_tpu.pipeline.engine import KmerEngine
+    from strainer2_tpu.pipeline.multi_detect import plan_strain_passes
+
+    eng = KmerEngine(31)
+    counts = [np.unique(scan_file_codes(r, eng)).size for r in r_files]
+    budget = max(projected_rows_bytes(n, 1) for n in counts)
+    assert len(plan_strain_passes(counts, budget=budget)) > 1, (
+        "budget must force a multi-pass plan for this test to mean anything"
+    )
+    monkeypatch.setenv("STRAINER2_DEVICE_MEM_BUDGET", str(budget))
+    split = run(tmp_path / "split")
+    for b, s in zip(base, split):
+        for key in ("counts", "scrubbed", "hits", "coverage"):
+            opener = gzip.open if str(b[key]).endswith(".gz") else open
+            with opener(b[key], "rb") as f:
+                want = f.read()
+            with opener(s[key], "rb") as f:
+                assert f.read() == want, f"{key} differs under forced split"
+
+
 def test_multi_strain_single_pass_matches_single_runs(tmp_path):
     from strainer2_tpu.pipeline.detect import run_detect
     from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
