@@ -3,6 +3,9 @@
 Flags (reference src/strain_detect.c:84-100): -r genome, -a informative
 k-mer file, -b/-c single sample (PE mate pair) or -B batch list, -t
 SE/PE/PEI, -g background metagenome list, -o gzip output file.
+--no-gzip is the runtime form of the reference's NO_GZIP_OUTPUT
+compile-time toggle (src/strain_detect.c:23,292-304): plain TSV output,
+identical row bytes.
 """
 
 from __future__ import annotations
@@ -26,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", dest="file_type", default=None, help="SE, PE, or PEI")
     p.add_argument("-g", dest="background_list", default=None, help="file listing background metagenomes")
     p.add_argument("-o", dest="out_file", required=True, help="k-mer hits output (gzip)")
+    p.add_argument("--no-gzip", dest="no_gzip", action="store_true",
+                   help="write plain TSV instead of gzip (the reference's "
+                        "NO_GZIP_OUTPUT build toggle as a runtime flag; "
+                        "row bytes identical)")
     p.add_argument("-n", dest="not_pe", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--mesh", default=None,
                    help="DATAxINDEX device mesh for sharded classification (e.g. 4x2)")
@@ -89,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg=cfg,
         index_cache=args.index_cache,
         checkpoint_dir=args.checkpoint_dir,
+        gzip_output=not args.no_gzip,
     )
     return 0
 

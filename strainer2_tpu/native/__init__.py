@@ -109,6 +109,13 @@ def _load():
         lib.s2_parse_scrub_has_drug.argtypes = [ctypes.c_void_p]
         lib.s2_parse_scrub_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
         lib.s2_parse_scrub_close.argtypes = [ctypes.c_void_p]
+        lib.s2_parse_hits_open.restype = ctypes.c_void_p
+        lib.s2_parse_hits_open.argtypes = [ctypes.c_char_p]
+        for fn in ("rows", "names", "names_blob", "comments_blob"):
+            getattr(lib, f"s2_parse_hits_{fn}").restype = ctypes.c_longlong
+            getattr(lib, f"s2_parse_hits_{fn}").argtypes = [ctypes.c_void_p]
+        lib.s2_parse_hits_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+        lib.s2_parse_hits_close.argtypes = [ctypes.c_void_p]
         lib.s2_count_build.restype = ctypes.c_void_p
         lib.s2_count_build.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong]
         lib.s2_count_build2.restype = ctypes.c_void_p
@@ -396,6 +403,49 @@ def parse_scrub_table_native(path: str):
         return blob, offsets, cols[0], cols[1], cols[2], cols[3], has_drug
     finally:
         lib.s2_parse_scrub_close(h)
+
+
+def parse_hits_native(path: str):
+    """Parse one strain_detect kmer_hits file into columns.
+
+    Returns (names, name_idx int32, totals int64, codes uint64, comments
+    str): distinct column-0 strings in first-encounter order, per-row name
+    index / t1+t2 total / 2-bit k-mer code, and the raw '#' summary lines.
+    Returns None when the library is unavailable OR the strict parser hit
+    a row it cannot represent (non-ACGT or mixed-length k-mer, non-numeric
+    count, unreadable file) — the caller must then fall back to the
+    Python per-line parse, which defines the canonical behavior for those
+    inputs."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.s2_parse_hits_open(path.encode())
+    if not h:
+        return None
+    try:
+        n = lib.s2_parse_hits_rows(h)
+        if n < 0:
+            return None
+        n_names = lib.s2_parse_hits_names(h)
+        name_idx = np.empty(n, dtype=np.int32)
+        totals = np.empty(n, dtype=np.int64)
+        codes = np.empty(n, dtype=np.uint64)
+        names_blob = np.empty(lib.s2_parse_hits_names_blob(h), dtype=np.uint8)
+        name_offsets = np.empty(n_names + 1, dtype=np.int64)
+        comments = np.empty(lib.s2_parse_hits_comments_blob(h), dtype=np.uint8)
+        lib.s2_parse_hits_fill(
+            h, name_idx.ctypes.data, totals.ctypes.data, codes.ctypes.data,
+            names_blob.ctypes.data, name_offsets.ctypes.data,
+            comments.ctypes.data,
+        )
+        blob = names_blob.tobytes()
+        names = [
+            blob[name_offsets[i]:name_offsets[i + 1]].decode()
+            for i in range(n_names)
+        ]
+        return names, name_idx, totals, codes, comments.tobytes().decode()
+    finally:
+        lib.s2_parse_hits_close(h)
 
 
 class NativePanelCounter:

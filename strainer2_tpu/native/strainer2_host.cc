@@ -24,7 +24,9 @@
 #include <vector>
 #include <memory>
 #include <thread>
+#include <array>
 #include <atomic>
+#include <unordered_map>
 
 // ---------------------------------------------------------------------------
 // gzip/plain line-less streaming reader
@@ -768,6 +770,212 @@ void s2_parse_scrub_fill(void* h, char* blob, int64_t* offsets, int64_t* c1,
 }
 
 void s2_parse_scrub_close(void* h) { delete static_cast<ScrubParse*>(h); }
+
+}  // extern "C"
+
+// ---- kmer_hits file parsing (coverage_depth input) --------------------------
+//
+// Streams a strain_detect kmer_hits file (reference src/strain_detect.c:567
+// row format `file\tt1\ti1\tt2\ti2\tkmer`) into columns: interned file-name
+// ids, t1+t2 totals, and 2-bit-encoded k-mer codes (the k-mer strings are
+// already canonical in the file, so a plain MSB-first encode preserves
+// distinctness) — plus the raw '#' summary lines for the Python side.
+// Replaces the per-line Python parse, which is the long pole of
+// coverage_depth on hit-dense runs.  Any row the strict parser cannot
+// handle (non-ACGT k-mer, k-length mismatch, non-numeric count) flags a
+// fallback and the caller re-parses in Python — behavior stays identical.
+
+struct HitsParse {
+  std::unordered_map<std::string, int32_t> interned;
+  std::string last_name;               // rows group by sample file, so the
+  int32_t last_id = -1;                // previous row's name almost always
+                                       // repeats — skip the map+alloc
+  std::string names_blob;              // concatenated distinct col-0 strings
+  std::vector<int64_t> name_offsets;   // n_names+1 boundaries
+  std::vector<int32_t> name_idx;       // per row
+  std::vector<int64_t> totals;         // per row: col1 + col3
+  std::vector<uint64_t> codes;         // per row: 2-bit k-mer code
+  std::string comments;                // raw '#' lines, newline-terminated
+  int klen = -1;                       // k of the first data row (<= 31)
+  bool bad_row = false;
+  bool io_error = false;
+};
+
+static void parse_hits_row(const char* s, const char* e, HitsParse* p) {
+  if (e > s && e[-1] == '\r') --e;
+  if (s == e) return;
+  if (*s == '#') {
+    p->comments.append(s, (size_t)(e - s));
+    p->comments.push_back('\n');
+    return;
+  }
+  // field 0: file path (interned)
+  const char* tab = static_cast<const char*>(memchr(s, '\t', (size_t)(e - s)));
+  if (!tab) {
+    p->bad_row = true;
+    return;
+  }
+  size_t name_len = (size_t)(tab - s);
+  int32_t id;
+  if (p->last_id >= 0 && p->last_name.size() == name_len &&
+      memcmp(p->last_name.data(), s, name_len) == 0) {
+    id = p->last_id;
+  } else {
+    std::string name(s, name_len);
+    auto it = p->interned.find(name);
+    if (it == p->interned.end()) {
+      id = (int32_t)p->interned.size();
+      p->interned.emplace(std::move(name), id);
+      p->names_blob.append(s, name_len);
+      p->name_offsets.push_back((int64_t)p->names_blob.size());
+    } else {
+      id = it->second;
+    }
+    p->last_name.assign(s, name_len);
+    p->last_id = id;
+  }
+  // fields 1..4: t1, i1, t2, i2 — only t1 and t2 are consumed (reference
+  // scripts/coverage_depth.py:84), but each numeric field must fill its
+  // span exactly, like the Python int() it replaces
+  long long t1 = 0, t2 = 0;
+  const char* q = tab + 1;
+  for (int f = 1; f <= 4; ++f) {
+    const char* ftab =
+        static_cast<const char*>(memchr(q, '\t', (size_t)(e - q)));
+    if (!ftab) {
+      p->bad_row = true;
+      return;
+    }
+    if (f == 1 || f == 3) {
+      long long v = 0;
+      const char* r = parse_dec(q, ftab, &v);
+      if (r != ftab) {
+        p->bad_row = true;
+        return;
+      }
+      (f == 1 ? t1 : t2) = v;
+    }
+    q = ftab + 1;
+  }
+  // field 5: the k-mer (ends at the next tab, if any — extra fields are
+  // ignored exactly as content[5] ignores them)
+  const char* ktab = static_cast<const char*>(memchr(q, '\t', (size_t)(e - q)));
+  const char* kend = ktab ? ktab : e;
+  int kl = (int)(kend - q);
+  if (kl < 1 || kl > 31 || (p->klen >= 0 && kl != p->klen)) {
+    p->bad_row = true;  // length 0/oversize/mixed: Python path handles
+    return;
+  }
+  // branchless 2-bit encode: table gives 4 for non-ACGT, folded into one
+  // validity check after the loop (random bases make a per-base branch
+  // mispredict ~every other base)
+  static const std::array<uint8_t, 256> kEnc = [] {
+    std::array<uint8_t, 256> t{};
+    t.fill(4);  // non-ACGT sentinel
+    t['A'] = 0;
+    t['C'] = 1;
+    t['G'] = 2;
+    t['T'] = 3;
+    return t;
+  }();
+  uint64_t code = 0;
+  uint8_t bad = 0;
+  for (const char* c = q; c < kend; ++c) {
+    uint8_t b = kEnc[(uint8_t)*c];
+    bad |= b;
+    code = (code << 2) | (uint64_t)(b & 3);
+  }
+  if (bad & 4) {
+    p->bad_row = true;
+    return;
+  }
+  p->klen = kl;
+  p->name_idx.push_back(id);
+  p->totals.push_back(t1 + t2);
+  p->codes.push_back(code);
+}
+
+extern "C" {
+
+void* s2_parse_hits_open(const char* path) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return nullptr;
+  auto* p = new HitsParse();
+  p->name_offsets.push_back(0);
+  std::vector<char> buf((size_t)1 << 20);
+  std::string carry;
+  bool done = false;
+  while (!done && !p->bad_row) {
+    int nread = gzread(f, buf.data(), (unsigned)buf.size());
+    if (nread <= 0) {
+      if (nread < 0) {
+        p->io_error = true;
+      } else {
+        int errnum = 0;
+        gzerror(f, &errnum);
+        if (errnum != Z_OK && errnum != Z_STREAM_END) p->io_error = true;
+      }
+      done = true;
+      nread = 0;
+    }
+    const char* cur = buf.data();
+    const char* end = buf.data() + nread;
+    while (cur < end && !p->bad_row) {
+      const char* nl =
+          static_cast<const char*>(memchr(cur, '\n', (size_t)(end - cur)));
+      if (!nl) {
+        carry.append(cur, (size_t)(end - cur));
+        break;
+      }
+      if (carry.empty()) {
+        parse_hits_row(cur, nl, p);
+      } else {
+        carry.append(cur, (size_t)(nl - cur));
+        parse_hits_row(carry.c_str(), carry.c_str() + carry.size(), p);
+        carry.clear();
+      }
+      cur = nl + 1;
+    }
+  }
+  if (!carry.empty() && !p->bad_row)
+    parse_hits_row(carry.c_str(), carry.c_str() + carry.size(), p);
+  gzclose(f);
+  return p;
+}
+
+long long s2_parse_hits_rows(void* h) {
+  auto* p = static_cast<HitsParse*>(h);
+  if (p->io_error) return -2;
+  if (p->bad_row) return -1;
+  return (long long)p->totals.size();
+}
+
+long long s2_parse_hits_names(void* h) {
+  return (long long)static_cast<HitsParse*>(h)->interned.size();
+}
+
+long long s2_parse_hits_names_blob(void* h) {
+  return (long long)static_cast<HitsParse*>(h)->names_blob.size();
+}
+
+long long s2_parse_hits_comments_blob(void* h) {
+  return (long long)static_cast<HitsParse*>(h)->comments.size();
+}
+
+void s2_parse_hits_fill(void* h, int32_t* name_idx, int64_t* totals,
+                        uint64_t* codes, char* names_blob,
+                        int64_t* name_offsets, char* comments) {
+  auto* p = static_cast<HitsParse*>(h);
+  memcpy(name_idx, p->name_idx.data(), p->name_idx.size() * sizeof(int32_t));
+  memcpy(totals, p->totals.data(), p->totals.size() * sizeof(int64_t));
+  memcpy(codes, p->codes.data(), p->codes.size() * sizeof(uint64_t));
+  memcpy(names_blob, p->names_blob.data(), p->names_blob.size());
+  memcpy(name_offsets, p->name_offsets.data(),
+         p->name_offsets.size() * sizeof(int64_t));
+  memcpy(comments, p->comments.data(), p->comments.size());
+}
+
+void s2_parse_hits_close(void* h) { delete static_cast<HitsParse*>(h); }
 
 }  // extern "C"
 

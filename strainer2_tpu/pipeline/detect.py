@@ -690,6 +690,7 @@ class StrainDetector:
         b_file2: str | None = None,
         file_type: int = NOT_PAIRED_END,
         checkpoint_dir: str | None = None,
+        gzip_output: bool = True,
     ) -> None:
         """Process all target samples and write the gzip hits file.
 
@@ -697,10 +698,20 @@ class StrainDetector:
         scored SPMD across ranks (deterministic size-balanced shares) and
         rank 0 writes the output in batch order — byte-identical to a
         single-process run.  checkpoint_dir enables sample-granular
-        resume (DetectCheckpoint), usable with or without SPMD."""
+        resume (DetectCheckpoint), usable with or without SPMD.
+        gzip_output=False writes plain TSV (the reference's NO_GZIP_OUTPUT
+        compile-time toggle, src/strain_detect.c:23,292-304, as a runtime
+        flag); row bytes are identical either way."""
         import gzip
 
         import jax
+
+        def _open_hits(path):
+            return (
+                gzip.open(path, "wt", compresslevel=9)
+                if gzip_output
+                else open(path, "w")
+            )
 
         self._finalize_meta()
         pidx, pcount = jax.process_index(), jax.process_count()
@@ -726,9 +737,7 @@ class StrainDetector:
                 )
             else:
                 run_one = lambda args, sink: self._quantify_sample(*args, sink)
-            out = (
-                gzip.open(out_path, "wt", compresslevel=9) if pidx == 0 else None
-            )
+            out = _open_hits(out_path) if pidx == 0 else None
             try:
                 _staged_quantify(
                     entries, run_one, io.StringIO,
@@ -747,7 +756,7 @@ class StrainDetector:
             return  # single-sample mode: rank 0 owns the only sample
         from strainer2_tpu.utils.observability import stage
 
-        with gzip.open(out_path, "wt", compresslevel=9) as out:
+        with _open_hits(out_path) as out:
             if batch_list is not None:
                 entries = _parse_batch_entries(batch_list)
                 n_samples = sum(1 for kind, _ in entries if kind == "sample")
@@ -1142,6 +1151,7 @@ def run_detect(
     stdout: IO | None = None,
     index_cache: str | None = None,
     checkpoint_dir: str | None = None,
+    gzip_output: bool = True,
 ) -> StrainDetector:
     """Full strain_detect stage.
 
@@ -1168,5 +1178,6 @@ def run_detect(
         b_file2=b_file2,
         file_type=file_type,
         checkpoint_dir=checkpoint_dir,
+        gzip_output=gzip_output,
     )
     return det

@@ -113,6 +113,7 @@ def test_detect_single_pe_parity(tmp_path):
     )
 
 
+@pytest.mark.parametrize("native_cov", ["1", "0"])
 @pytest.mark.parametrize(
     "kwargs,golden",
     [
@@ -121,15 +122,37 @@ def test_detect_single_pe_parity(tmp_path):
         (dict(background_metagenomes_file="data/background.txt"), "coverage_depth_bg.tsv"),
     ],
 )
-def test_coverage_depth_parity(tmp_path, kwargs, golden):
+def test_coverage_depth_parity(tmp_path, kwargs, golden, native_cov, monkeypatch):
+    """Both hits-file parse routes (native columnar / per-line Python)
+    must hit the golden byte-for-byte."""
     from strainer2_tpu.pipeline.coverage import run_coverage_depth
 
+    monkeypatch.setenv("STRAINER2_NATIVE_COVERAGE", native_cov)
     hits_gz = str(tmp_path / "strainA_x.kmer_hits.gz")
     with gzip.open(hits_gz, "wb") as f:
         f.write(expected("kmer_hits.txt"))
     out = _Out()
     run_coverage_depth(hits_gz, out=out, **kwargs)
     assert out.bytes() == expected(golden)
+
+
+def test_detect_no_gzip_output_parity(tmp_path):
+    """--no-gzip (the reference's NO_GZIP_OUTPUT toggle,
+    src/strain_detect.c:23,292-304) writes the identical rows as plain
+    TSV."""
+    from strainer2_tpu.pipeline.detect import run_detect
+
+    hits = str(tmp_path / "hits.tsv")
+    out = _Out()
+    run_detect(
+        "data/strainA.fna.gz", "expected/scrubbed_m05.txt", hits, stdout=out,
+        batch_list="data/targets.txt", gzip_output=False,
+    )
+    with open(hits, "rb") as f:
+        payload = f.read()
+    assert payload[:2] != b"\x1f\x8b", "output must not be gzip"
+    assert payload == expected("kmer_hits.txt")
+    assert out.bytes() == expected("detect_stdout.txt")
 
 
 def test_detect_python_fallback_path_parity(tmp_path, monkeypatch):
