@@ -19,7 +19,9 @@ single-host run over the same file list regardless of the partition.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 
 import numpy as np
 
@@ -29,7 +31,71 @@ __all__ = [
     "partition_by_size",
     "merge_across_hosts",
     "gather_blobs",
+    "COLLECTIVE_TIMEOUT_ENV",
 ]
+
+COLLECTIVE_TIMEOUT_ENV = "STRAINER2_COLLECTIVE_TIMEOUT"
+_DEFAULT_COLLECTIVE_TIMEOUT_S = 3600.0
+
+
+def _collective_timeout() -> float | None:
+    """Seconds a cross-host collective may take before the run aborts with
+    a clear error; None disables (STRAINER2_COLLECTIVE_TIMEOUT=0).
+
+    The default is deliberately generous (1 h): ranks reach the merge
+    barrier skewed by however unevenly the panel partitioned, and a slow
+    rank must never be mistaken for a dead one.  The point is to bound the
+    failure mode, not to police stragglers — without it, a dead peer turns
+    every surviving rank into an unbounded collective hang."""
+    v = os.environ.get(COLLECTIVE_TIMEOUT_ENV)
+    if v is None:
+        return _DEFAULT_COLLECTIVE_TIMEOUT_S
+    t = float(v)
+    return t if t > 0 else None
+
+
+@contextlib.contextmanager
+def _rank_failure_watchdog(what: str):
+    """Abort (exit 1) with an actionable message if the wrapped collective
+    wedges — the SPMD failure contract.
+
+    The reference's failure story is exit(1) everywhere (SURVEY.md §5);
+    under SPMD the equivalent hazard is a peer rank dying BEFORE a
+    collective, which leaves every surviving rank blocked forever inside
+    the transport with no error.  A watchdog thread turns that into a
+    timely, resumable failure: checkpointed runs (--checkpoint) restart
+    and skip completed work.  os._exit is deliberate — the main thread is
+    wedged in a native collective and cannot unwind."""
+    timeout = _collective_timeout()
+    if timeout is None:
+        yield
+        return
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(timeout):
+            import sys
+
+            import jax
+
+            print(
+                f"[strainer2] rank {jax.process_index()}: {what} did not "
+                f"complete within {timeout:.0f}s — a peer rank likely died "
+                "or stalled before the collective; aborting so the run can "
+                "be restarted (checkpointed runs resume; tune with "
+                f"{COLLECTIVE_TIMEOUT_ENV}, 0 disables)",
+                file=sys.stderr,
+                flush=True,
+            )
+            sys.stderr.flush()
+            os._exit(1)
+
+    t = threading.Thread(target=_watch, name="s2-collective-watchdog", daemon=True)
+    t.start()
+    try:
+        yield
+    finally:
+        done.set()
 
 
 def initialize(coordinator_address: str | None = None,
@@ -144,7 +210,8 @@ def merge_across_hosts(local_counts: np.ndarray) -> np.ndarray:
 
     from jax.experimental import multihost_utils
 
-    stacked = np.asarray(multihost_utils.process_allgather(local_counts))
+    with _rank_failure_watchdog("count merge (process_allgather)"):
+        stacked = np.asarray(multihost_utils.process_allgather(local_counts))
     assert stacked.shape == (jax.process_count(),) + local_counts.shape
     return stacked.sum(axis=0, dtype=local_counts.dtype)
 
@@ -169,13 +236,14 @@ def gather_blobs(local: bytes) -> list[bytes]:
     from jax.experimental import multihost_utils
 
     arr = np.frombuffer(local, dtype=np.uint8)
-    lengths = np.asarray(
-        multihost_utils.process_allgather(np.int64(arr.size))
-    ).reshape(-1)
-    m = int(lengths.max())
-    if m == 0:
-        return [b""] * int(lengths.size)
-    padded = np.zeros(m, dtype=np.uint8)
-    padded[: arr.size] = arr
-    stacked = np.asarray(multihost_utils.process_allgather(padded))
+    with _rank_failure_watchdog("payload gather (process_allgather)"):
+        lengths = np.asarray(
+            multihost_utils.process_allgather(np.int64(arr.size))
+        ).reshape(-1)
+        m = int(lengths.max())
+        if m == 0:
+            return [b""] * int(lengths.size)
+        padded = np.zeros(m, dtype=np.uint8)
+        padded[: arr.size] = arr
+        stacked = np.asarray(multihost_utils.process_allgather(padded))
     return [stacked[i, : int(lengths[i])].tobytes() for i in range(lengths.size)]

@@ -118,6 +118,17 @@ def main() -> None:
         )
         return
 
+    if mode == "merge_dead":
+        # rank-failure contract: every rank > 0 dies BEFORE the collective;
+        # rank 0 must produce a timely error (watchdog in
+        # parallel/distributed.py) instead of hanging in process_allgather
+        if pid != 0:
+            return
+        local = np.zeros(64, dtype=np.uint32)
+        merged = merge_across_hosts(local)  # expected: abort, not return
+        np.save(os.path.join(workdir, "merged_dead_0.npy"), merged)
+        return
+
     k = 31
     rows, row_len = 8, 512
     engine = KmerEngine(k)

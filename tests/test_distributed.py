@@ -188,7 +188,8 @@ def test_host_file_partition_duplicate_entries_split_by_occurrence(tmp_path):
     assert sum(len(s) for s in shares) == 2
 
 
-def _launch_scrub_workers(tmp_path, mode):
+def _launch_scrub_workers(tmp_path, mode, nproc=2, extra_env=None,
+                          expect_rc=0):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = str(s.getsockname()[1])
@@ -201,16 +202,22 @@ def _launch_scrub_workers(tmp_path, mode):
     }
     env["PYTHONPATH"] = repo
     env["JAX_PLATFORMS"] = "cpu"
+    if extra_env:
+        env.update(extra_env)
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", port, str(tmp_path), mode],
+            [sys.executable, worker, str(i), str(nproc), port, str(tmp_path), mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
+    outs = []
     for p in procs:
-        out = p.communicate(timeout=180)[0]
-        assert p.returncode == 0, out.decode(errors="replace")
+        out = p.communicate(timeout=240)[0]
+        outs.append(out)
+        if expect_rc is not None:
+            assert p.returncode == expect_rc, out.decode(errors="replace")
+    return procs, outs
 
 
 def test_run_scrub_count_two_processes_checkpointed_and_resumed(tmp_path):
@@ -492,6 +499,113 @@ def test_fused_multi_pipeline_two_real_processes(tmp_path):
 
     r1 = tmp_path / "multi_out_1"
     assert not any(_os.scandir(r1)) if r1.exists() else True
+
+
+def test_run_scrub_count_four_processes_fewer_files_than_ranks(tmp_path):
+    """4 real jax.distributed ranks, 2 panel files: ranks with EMPTY
+    shares must still cross the real collective merge (their all-zero
+    vectors participate) and rank 0's table must equal the
+    single-process run byte-for-byte.  The reference analogue — the
+    per-strain Snakemake fan-out — routinely has uneven work
+    (/root/reference/test/Snakemake.strain_detect:23-24)."""
+    import io
+
+    from strainer2_tpu.pipeline.scrub_count import run_scrub_count
+
+    rng = np.random.default_rng(17)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = alpha[rng.integers(0, 4, size=2500)].tobytes().decode()
+    _write_fasta(tmp_path / "genome.fa", [genome])
+    panels = []
+    for j in range(2):  # fewer files than the 4 ranks
+        reads = []
+        for _ in range(30):
+            if rng.random() < 0.5:
+                start = int(rng.integers(0, len(genome) - 70))
+                reads.append(genome[start : start + 70])
+            else:
+                reads.append(alpha[rng.integers(0, 4, size=70)].tobytes().decode())
+        p = tmp_path / f"panel_{j}.fa"
+        _write_fasta(p, reads)
+        panels.append(str(p))
+    with open(tmp_path / "panels.txt", "w") as f:
+        f.write("\n".join(panels) + "\n")
+
+    from strainer2_tpu.parallel.distributed import host_file_partition
+
+    shares = [host_file_partition(panels, r, 4) for r in range(4)]
+    assert sum(1 for s in shares if not s) >= 2, "expected empty shares"
+
+    out = io.StringIO()
+    run_scrub_count(
+        str(tmp_path / "genome.fa"), str(tmp_path / "panels.txt"),
+        str(tmp_path / "panels.txt"), out=out,
+    )
+    expected = out.getvalue()
+
+    _launch_scrub_workers(tmp_path, "scrub", nproc=4)
+    with open(tmp_path / "table_0.tsv") as f:
+        assert f.read() == expected
+    for r in (1, 2, 3):
+        with open(tmp_path / f"table_{r}.tsv") as f:
+            assert f.read() == ""
+
+
+def test_run_detect_four_processes_fewer_samples_than_ranks(tmp_path):
+    """4 real ranks, 2 scoreable samples: empty-share ranks cross the
+    payload gather with empty blobs; rank 0's gzip payload + stdout are
+    byte-identical to a single-process run."""
+    rng = np.random.default_rng(71)
+    _make_detect_workdir(tmp_path, rng, with_background=False)
+    # shrink the batch to 2 samples (+ the malformed line)
+    with open(tmp_path / "targets.txt") as f:
+        lines = f.readlines()
+    keep = [l for l in lines if l.startswith(("SE", "PE"))][:2]
+    bad = [l for l in lines if l.startswith("XX")]
+    with open(tmp_path / "targets.txt", "w") as f:
+        f.writelines(keep + bad)
+    expected_hits, expected_stdout = _expected_detect(
+        tmp_path, with_background=False
+    )
+
+    _launch_scrub_workers(tmp_path, "detect", nproc=4)
+    import gzip as _gzip
+
+    with _gzip.open(tmp_path / "hits_0.gz", "rb") as f:
+        assert f.read() == expected_hits
+    with open(tmp_path / "detect_stdout_0.txt") as f:
+        assert f.read() == expected_stdout
+    for r in (1, 2, 3):
+        assert not (tmp_path / f"hits_{r}.gz").exists()
+
+
+def test_dead_rank_produces_timely_error(tmp_path):
+    """A peer rank dying BEFORE a collective must turn into a prompt,
+    actionable abort on the surviving rank (the watchdog in
+    parallel/distributed.py), not an unbounded hang."""
+    import time
+
+    t0 = time.time()
+    procs, outs = _launch_scrub_workers(
+        tmp_path, "merge_dead", nproc=2,
+        extra_env={"STRAINER2_COLLECTIVE_TIMEOUT": "8"},
+        expect_rc=None,
+    )
+    elapsed = time.time() - t0
+    # rank 1 is "dead" by design; its exit code is incidental (jax's
+    # coordination client may kill it once the aborted coordinator is gone)
+    assert procs[0].returncode != 0, "rank 0 must abort, not succeed"
+    assert elapsed < 120, f"abort took {elapsed:.0f}s — not timely"
+    assert not (tmp_path / "merged_dead_0.npy").exists()
+    text = outs[0].decode(errors="replace")
+    # either our watchdog fired, or jax's coordination service noticed the
+    # disconnect first — both are timely, resumable errors
+    assert (
+        "did not complete within" in text
+        or "coordination" in text.lower()
+        or "heartbeat" in text.lower()
+        or "disconnect" in text.lower()
+    ), text
 
 
 def test_env_var_cli_bringup_two_processes(tmp_path):
