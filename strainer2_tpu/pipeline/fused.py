@@ -332,21 +332,31 @@ def run_multi_pipeline(
             r_files, a_list, b_list, c_list, cfg, progress
         )
 
+    import io
     import threading
 
+    from strainer2_tpu.pipeline.multi_scrub import strain_threads
+
     all_paths = []
-    prebuilt = []
     counts_writers: list = []
     counts_write_err: list[BaseException] = []
-    for r_file, index, (col_pan, col_meta, col_drug) in zip(
-        r_files, strain_indexes, columns
-    ):
+    _err_lock = threading.Lock()
+    for r_file in r_files:
         paths = {
-            "counts": out_path(r_file, ".scrub_kmer_counts.gz"),
-            "scrubbed": out_path(r_file, ".scrubbed_kmers.gz"),
+            "counts": out_path(r_file, ".scrub_kmer_counts.gz")
+            if fcfg.write_counts else None,
+            "scrubbed": out_path(r_file, ".scrubbed_kmers.gz")
+            if fcfg.write_scrubbed else None,
             "hits": out_path(r_file, ".kmer_hits.gz"),
             "coverage": out_path(r_file, ".coverage_depth"),
         }
+        all_paths.append(paths)
+
+    def _prep_strain(arg):
+        """Per-strain order replay + counts-write kickoff + filter —
+        independent per strain, so strains run across a worker pool; the
+        per-strain stderr diagnostics buffer and flush in strain order."""
+        r_file, index, (col_pan, col_meta, col_drug), paths = arg
         order = reference_row_order(index.codes, index.k)
         if fcfg.write_counts:
             # observability artifact: overlap with the remaining stages
@@ -368,17 +378,34 @@ def run_multi_pipeline(
             w = threading.Thread(target=_write_counts_bg, name="fused-counts-writer")
             w.start()
             counts_writers.append(w)
-        else:
-            paths["counts"] = None
-        if not fcfg.write_scrubbed:
-            paths["scrubbed"] = None
-        with stage("fused.filter"):
-            informative = _filter_in_memory(
-                index, order, col_pan, col_meta, col_drug,
-                paths["scrubbed"], fcfg, err,
-            )
-        prebuilt.append((r_file, index, informative))
-        all_paths.append(paths)
+        err_buf = io.StringIO()
+        try:
+            with stage("fused.filter"):
+                informative = _filter_in_memory(
+                    index, order, col_pan, col_meta, col_drug,
+                    paths["scrubbed"], fcfg, err_buf,
+                )
+        except BaseException:
+            # a failing filter (e.g. too-few-kmers SystemExit) must still
+            # land its diagnostics on the real stderr before propagating
+            with _err_lock:
+                err.write(err_buf.getvalue())
+            raise
+        return (r_file, index, informative), err_buf.getvalue()
+
+    prep_args = list(zip(r_files, strain_indexes, columns, all_paths))
+    threads = strain_threads(len(r_files))
+    if threads > 1 and len(prep_args) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(threads) as ex:
+            prepped = list(ex.map(_prep_strain, prep_args))
+    else:
+        prepped = [_prep_strain(a) for a in prep_args]
+    prebuilt = [p for p, _ in prepped]
+    for _, err_text in prepped:  # strain-ordered, as the serial loop wrote
+        if err_text:
+            err.write(err_text)
 
     # passes sized by strain count AND projected union row-table bytes
     # against the device budget (multi_detect.plan_strain_passes; exact

@@ -19,6 +19,7 @@ once per distinct own-file.
 
 from __future__ import annotations
 
+import os
 from typing import IO
 
 import numpy as np
@@ -33,7 +34,22 @@ from strainer2_tpu.pipeline.scrub_count import (
     write_scrub_table,
 )
 
-__all__ = ["run_multi_scrub", "multi_scrub_counts"]
+__all__ = ["run_multi_scrub", "multi_scrub_counts", "strain_threads"]
+
+
+def strain_threads(n_strains: int) -> int:
+    """Worker count for independent PER-STRAIN work (index builds, filters):
+    min(cores, 8, n); STRAINER2_STRAIN_THREADS overrides (1 = sequential).
+
+    Per-strain stages are embarrassingly parallel — each strain reads its
+    own genome and writes its own artifacts — and their results merge by
+    list position, so parallel execution is byte-identical by
+    construction (pinned by tests/test_multi_scrub.py which runs the
+    fused pipeline against staged per-strain runs)."""
+    env = os.environ.get("STRAINER2_STRAIN_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(os.cpu_count() or 1, 8, n_strains))
 
 
 def multi_scrub_counts(
@@ -53,11 +69,28 @@ def multi_scrub_counts(
 
     engine = KmerEngine(cfg.k)
 
-    # per-strain indexes (own k-mer sets + genome occurrence counts)
+    # per-strain indexes (own k-mer sets + genome occurrence counts);
+    # independent per strain, so they build across a thread pool (the hot
+    # parts — native scan, unique, table build — release the GIL)
     if strain_indexes is None:
-        strain_indexes = [
-            StrainIndex.from_fasta(r, engine, cfg.rows, cfg.row_len) for r in r_files
-        ]
+        threads = strain_threads(len(r_files))
+        if threads > 1 and len(r_files) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(threads) as ex:
+                strain_indexes = list(
+                    ex.map(
+                        lambda r: StrainIndex.from_fasta(
+                            r, engine, cfg.rows, cfg.row_len
+                        ),
+                        r_files,
+                    )
+                )
+        else:
+            strain_indexes = [
+                StrainIndex.from_fasta(r, engine, cfg.rows, cfg.row_len)
+                for r in r_files
+            ]
     union_codes = np.unique(np.concatenate([ix.codes for ix in strain_indexes]))
     union = StrainIndex.from_unique_codes(union_codes, k=cfg.k)
 

@@ -18,7 +18,13 @@ only the host plane:
    multi-strain pipelines' shared-scan shape),
 5. concurrent per-sample classify streams + read extractors over one
    shared classify table (sample-parallel detection,
-   pipeline/detect.py::_run_sample_pool).
+   pipeline/detect.py::_run_sample_pool),
+6. concurrent independent index builds — scan + unique-encounter + bucket
+   build per thread (the strain-parallel index stage,
+   pipeline/multi_scrub.py::multi_scrub_counts over a thread pool),
+7. concurrent native scrub-row formatting from several threads (the
+   fused multi pipeline's per-strain counts writers + pooled filters,
+   pipeline/fused.py::run_multi_pipeline).
 """
 
 import os
@@ -170,6 +176,63 @@ def stress_concurrent_classify(rng, tmp) -> None:
     print("concurrent classify streams: ok")
 
 
+def stress_concurrent_index_builds(rng, tmp) -> None:
+    """Shape 6: N threads each scan a genome file, unique it, and build a
+    bucket table concurrently (pipeline/multi_scrub.py's pooled
+    StrainIndex.from_fasta)."""
+    paths = []
+    for j in range(3):
+        p = os.path.join(tmp, f"g{j}.fa")
+        make_fasta(p, rng, n_reads=40, read_len=400)
+        paths.append(p)
+
+    results = []
+    lock = threading.Lock()
+
+    def build(p):
+        for _ in range(2):
+            scan = scan_file_codes_native(p, K)
+            codes = np.unique(scan)
+            h_bits = max(4, int(np.ceil(np.log2(max(codes.size, 2) / 3.3))))
+            out = build_bucket_native(codes, K, h_bits, 0)
+            assert out is not None and out != "retry"
+            with lock:
+                results.append((p, codes.size))
+
+    ts = [threading.Thread(target=build, args=(p,)) for p in paths]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(results) == 6
+    print("concurrent index builds: ok")
+
+
+def stress_concurrent_row_formatting(rng) -> None:
+    """Shape 7: several threads format scrub rows natively at once (the
+    fused multi pipeline runs one counts-writer thread per strain)."""
+    blobs = []
+    lock = threading.Lock()
+
+    def fmt(seed):
+        r = np.random.default_rng(seed)
+        codes = np.unique(r.integers(0, 1 << 62, size=50_000, dtype=np.uint64))
+        c = r.integers(0, 100, size=(4, codes.size)).astype(np.uint32)
+        for _ in range(2):
+            out = format_scrub_rows(codes, c[0], c[1], c[2], None, K)
+            assert out is not None and out.count(b"\n") == codes.size
+            with lock:
+                blobs.append(len(out))
+
+    ts = [threading.Thread(target=fmt, args=(100 + j,)) for j in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(blobs) == 8
+    print("concurrent row formatting: ok")
+
+
 def main() -> None:
     assert available(), "native library unavailable (check STRAINER2_NATIVE_LIB)"
     rng = np.random.default_rng(13)
@@ -179,6 +242,8 @@ def main() -> None:
         stress_prefetch_stream(rng, tmp)
         stress_concurrent_counts(rng, tmp)
         stress_concurrent_classify(rng, tmp)
+        stress_concurrent_index_builds(rng, tmp)
+        stress_concurrent_row_formatting(rng)
     print("ALL STRESSES PASSED")
 
 
