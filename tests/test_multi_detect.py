@@ -62,6 +62,23 @@ def test_plan_strain_passes_splits_by_projected_bytes():
     assert projected_rows_bytes(6_700_000, 256) == (1 << 21) * 288 * 4
 
 
+def test_estimate_genome_kmers(tmp_path):
+    """Planner estimates: gzip ISIZE for .gz (uncompressed bytes), file
+    size for plain — both upper bounds on distinct k-mers."""
+    import gzip as _gzip
+
+    from strainer2_tpu.pipeline.multi_detect import estimate_genome_kmers
+
+    body = b">g\n" + b"ACGT" * 5000 + b"\n"
+    plain = tmp_path / "g.fa"
+    plain.write_bytes(body)
+    assert estimate_genome_kmers(str(plain)) == len(body)
+    gz = tmp_path / "g.fa.gz"
+    with _gzip.open(gz, "wb") as f:
+        f.write(body)
+    assert estimate_genome_kmers(str(gz)) == len(body)
+
+
 def test_union_over_budget_fails_loudly(tmp_path, monkeypatch):
     """An over-budget union must raise an actionable error naming the
     projected size and the budget env var, not device-OOM."""
