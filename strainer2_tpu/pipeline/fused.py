@@ -414,14 +414,15 @@ def run_multi_pipeline(
 
     for start, end in plan_strain_passes([idx.num_kmers for _, idx, _ in prebuilt]):
         chunk = prebuilt[start:end]
-        det = MultiStrainDetector(
-            [], DetectConfig(k=cfg.k),
-            stdout=stdout if stdout is not None else sys.stdout,
-            background_list=background_list, prebuilt=chunk,
-        )
-        det.quantify_all(
-            [p["hits"] for p in all_paths[start:end]], target_list
-        )
+        with stage("fused.multi_detect"):
+            det = MultiStrainDetector(
+                [], DetectConfig(k=cfg.k),
+                stdout=stdout if stdout is not None else sys.stdout,
+                background_list=background_list, prebuilt=chunk,
+            )
+            det.quantify_all(
+                [p["hits"] for p in all_paths[start:end]], target_list
+            )
 
     if pcount > 1 and pidx != 0:
         return all_paths  # rank 0 owns the remaining artifacts

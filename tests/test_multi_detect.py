@@ -62,6 +62,40 @@ def test_plan_strain_passes_splits_by_projected_bytes():
     assert projected_rows_bytes(6_700_000, 256) == (1 << 21) * 288 * 4
 
 
+def test_detect_multi_cli_through_planner(tmp_path):
+    """The detect-multi CLI end to end: strain list -> planned passes ->
+    per-strain hits files identical to single-strain runs (pins the
+    planner wiring in cli/strainer2_tools.py, not just the detector)."""
+    from strainer2_tpu.cli.strainer2_tools import main as tools_main
+    from strainer2_tpu.pipeline.detect import run_detect
+
+    strains = [
+        ("data/strainA.fna.gz", "expected/scrubbed_m05.txt"),
+        ("data/panel1.fna.gz", _informative_subset(tmp_path, "data/panel1.fna.gz")),
+    ]
+    singles = []
+    for i, (r, a) in enumerate(strains):
+        p = str(tmp_path / f"cli_single_{i}.gz")
+        run_detect(r, a, p, batch_list="data/targets.txt")
+        with gzip.open(p, "rb") as f:
+            singles.append(f.read())
+
+    slist = tmp_path / "strains.tsv"
+    with open(slist, "w") as f:
+        for r, a in strains:
+            f.write(f"{r}\t{a}\n")
+    out_dir = tmp_path / "cli_out"
+    tools_main([
+        "detect-multi", "-S", str(slist), "-B", "data/targets.txt",
+        "-o", str(out_dir),
+    ])
+    from strainer2_tpu.pipeline.fused import _stem
+
+    for (r, _), want in zip(strains, singles):
+        with gzip.open(out_dir / (_stem(r) + ".kmer_hits.gz"), "rb") as f:
+            assert f.read() == want, r
+
+
 def test_estimate_genome_kmers(tmp_path):
     """Planner estimates: gzip ISIZE for .gz (uncompressed bytes), file
     size for plain — both upper bounds on distinct k-mers."""
