@@ -1642,6 +1642,36 @@ static void classify_one_read_multi(CountTable* t, const std::vector<uint8_t>& s
   const auto hash = [bits](uint64_t c) {
     return (size_t)((c * 0x9E3779B97F4A7C15ULL) >> (64 - bits));
   };
+  // SWAR vertical counters (the CPU twin of ops/segsum._field_sums16):
+  // instead of 2S scalar bit extracts per hit window, each 16-strain meta
+  // word accumulates IN packed form — strain s's 1-bit value sits at bit
+  // 2s, so mask 0x11111111 picks the even strains already on a 4-bit
+  // stride and (w >> 2) & 0x11111111 the odd ones.  Four uint32
+  // accumulators per word hold 8 4-bit counters each (cap 15), flushed
+  // into the int totals every 15 hits.  ~5 ops per plane per 16 strains
+  // instead of 32 — the classify inner cost stops growing 2S-per-hit.
+  // All-integer and order-preserving, hence byte-identical (pinned by
+  // tests/test_multi_detect.py native-vs-jit at 20/40/130 strains).
+  const int n_words = (n_strains + 15) / 16;  // word 0 = slot, 1 = pad, 2+ extra
+  uint32_t accTe[16], accTo[16], accIe[16], accIo[16];
+  for (int w = 0; w < n_words; ++w) accTe[w] = accTo[w] = accIe[w] = accIo[w] = 0;
+  int pending = 0;
+  auto flush = [&]() {
+    for (int w = 0; w < n_words; ++w) {
+      const int base = 16 * w;
+      const int lim = n_strains - base < 16 ? n_strains - base : 16;
+      for (int j = 0; 2 * j < lim; ++j) {
+        tot[base + 2 * j] += (accTe[w] >> (4 * j)) & 0xFu;
+        inf[base + 2 * j] += (accIe[w] >> (4 * j)) & 0xFu;
+        if (2 * j + 1 < lim) {
+          tot[base + 2 * j + 1] += (accTo[w] >> (4 * j)) & 0xFu;
+          inf[base + 2 * j + 1] += (accIo[w] >> (4 * j)) & 0xFu;
+        }
+      }
+      accTe[w] = accTo[w] = accIe[w] = accIo[w] = 0;
+    }
+    pending = 0;
+  };
   constexpr long long kAhead = 12;
   const long long n = (long long)codes.size();
   for (long long i = 0; i < n; ++i) {
@@ -1650,13 +1680,10 @@ static void classify_one_read_multi(CountTable* t, const std::vector<uint8_t>& s
     const uint64_t c = codes[(size_t)i];
     if (c == 0) continue;  // canonical-max codes are never 0
     size_t p = hash(c);
-    uint32_t mlo = 0, mhi = 0;
     bool found = false;
     for (;;) {
       const uint64_t cur = t->recs[p].code;
       if (cur == c) {
-        mlo = (uint32_t)t->recs[p].slot;
-        mhi = (uint32_t)t->recs[p].pad;  // strains 16..31 (s2_count_build2)
         found = true;
         break;
       }
@@ -1664,26 +1691,23 @@ static void classify_one_read_multi(CountTable* t, const std::vector<uint8_t>& s
       p = (p + 1) & cmask;
     }
     if (found) {
-      const int n_lo = n_strains < 16 ? n_strains : 16;
-      for (int s = 0; s < n_lo; ++s) {
-        tot[s] += (mlo >> (2 * s)) & 1u;
-        inf[s] += (mlo >> (2 * s + 1)) & 1u;
+      const uint32_t* extra = t->extra_words
+          ? &t->extra[p * (size_t)t->extra_words] : nullptr;
+      for (int w = 0; w < n_words; ++w) {
+        const uint32_t word =
+            w == 0 ? (uint32_t)t->recs[p].slot
+                   : w == 1 ? (uint32_t)t->recs[p].pad : extra[w - 2];
+        const uint32_t pres = word & 0x55555555u;
+        const uint32_t info = (word >> 1) & 0x55555555u;
+        accTe[w] += pres & 0x11111111u;
+        accTo[w] += (pres >> 2) & 0x11111111u;
+        accIe[w] += info & 0x11111111u;
+        accIo[w] += (info >> 2) & 0x11111111u;
       }
-      const int n_hi = n_strains < 32 ? n_strains : 32;
-      for (int s = 16; s < n_hi; ++s) {
-        tot[s] += (mhi >> (2 * (s - 16))) & 1u;
-        inf[s] += (mhi >> (2 * (s - 16) + 1)) & 1u;
-      }
-      // strains 32+ ride the side words (s2_count_build_multi)
-      for (int s = 32; s < n_strains; ++s) {
-        const uint32_t w =
-            t->extra[p * (size_t)t->extra_words + (s - 32) / 16];
-        const int sh = 2 * ((s - 32) % 16);
-        tot[s] += (w >> sh) & 1u;
-        inf[s] += (w >> (sh + 1)) & 1u;
-      }
+      if (++pending == 15) flush();
     }
   }
+  if (pending) flush();
 }
 
 // Per-read rows into (cap, n_strains) C-order buffers; same pairing and
