@@ -221,32 +221,78 @@ class MultiStrainDetector:
         self._read_stream = StrainDetector._read_stream.__get__(self)
 
         # per-strain state via the single-strain constructor (reuses the
-        # scrubbed-k-mer marking incl. its diagnostics)
+        # scrubbed-k-mer marking incl. its diagnostics).  Strains are
+        # independent (each scans its own genome + scrubbed file), so they
+        # build across a worker pool; each strain's stdout diagnostics
+        # buffer and flush in strain order — exactly the serial contract.
+        import io
+
+        def _build_one(s):
+            r_file, a_file = strains[s]
+            buf = io.StringIO()
+            try:
+                det = StrainDetector(
+                    r_file, a_file, self.cfg, stdout=buf,
+                    index=prebuilt[s][1] if prebuilt is not None else None,
+                    informative_keys=(
+                        prebuilt[s][2] if prebuilt is not None else None
+                    ),
+                )
+            except BaseException as e:
+                # carry the partial diagnostics so the consumer can flush
+                # them in strain order before propagating
+                e._s2_stdout = buf.getvalue()  # type: ignore[attr-defined]
+                raise
+            order = np.argsort(det.index.codes, kind="stable")
+            state = _StrainState(
+                r_file=r_file,
+                a_file=a_file,
+                codes_sorted=det.index.codes[order],
+                types_sorted=det.kmer_type[order],
+                total_kmers=det.index.num_kmers,
+                total_informative=int(
+                    np.count_nonzero(det.kmer_type == INFORMATIVE_KMER)
+                ),
+                num_marked=det.num_informative_marked,
+            )
+            return state, det.index.codes, det.kmer_type, buf
+
+        from strainer2_tpu.pipeline.multi_scrub import strain_threads
+
+        threads = strain_threads(len(strains))
         self.states: list[_StrainState] = []
         per_strain_codes: list[np.ndarray] = []
         per_strain_types: list[np.ndarray] = []
-        for s, (r_file, a_file) in enumerate(strains):
-            det = StrainDetector(
-                r_file, a_file, self.cfg, stdout=self.stdout,
-                index=prebuilt[s][1] if prebuilt is not None else None,
-                informative_keys=prebuilt[s][2] if prebuilt is not None else None,
-            )
-            order = np.argsort(det.index.codes, kind="stable")
-            self.states.append(
-                _StrainState(
-                    r_file=r_file,
-                    a_file=a_file,
-                    codes_sorted=det.index.codes[order],
-                    types_sorted=det.kmer_type[order],
-                    total_kmers=det.index.num_kmers,
-                    total_informative=int(
-                        np.count_nonzero(det.kmer_type == INFORMATIVE_KMER)
-                    ),
-                    num_marked=det.num_informative_marked,
-                )
-            )
-            per_strain_codes.append(det.index.codes)
-            per_strain_types.append(det.kmer_type)
+        if threads > 1 and len(strains) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(threads) as ex:
+                futures = [ex.submit(_build_one, s) for s in range(len(strains))]
+                for fu in futures:
+                    try:
+                        state, codes, types, buf = fu.result()
+                    except BaseException as e:
+                        # futures resolve in strain order here, so earlier
+                        # strains' diagnostics are already flushed; flush
+                        # the failing strain's before propagating — the
+                        # serial contract
+                        self.stdout.write(getattr(e, "_s2_stdout", ""))
+                        raise
+                    self.stdout.write(buf.getvalue())
+                    self.states.append(state)
+                    per_strain_codes.append(codes)
+                    per_strain_types.append(types)
+        else:
+            for s in range(len(strains)):
+                try:
+                    state, codes, types, buf = _build_one(s)
+                except BaseException as e:
+                    self.stdout.write(getattr(e, "_s2_stdout", ""))
+                    raise
+                self.stdout.write(buf.getvalue())
+                self.states.append(state)
+                per_strain_codes.append(codes)
+                per_strain_types.append(types)
 
         union = np.unique(np.concatenate(per_strain_codes))
         # 16 strains (2 bits each) per 32-bit meta word; the row carries
@@ -428,12 +474,13 @@ class MultiStrainDetector:
                         reads = [ex1.read(r1, int(lens[pe1[j]]))]
                         if paired:  # PEI: mate is next in the same file
                             reads.append(ex1.read(r1 + 1, int(lens[pe1[j] + 1])))
+                    canons = [self._canonical_read(codes) for codes in reads]
                     for s in strain_idx[pair_idx == j]:
                         prefix = (
                             f"{f1}\t{t1[j, s]}\t{i1[j, s]}\t{t2[j, s]}\t{i2[j, s]}\t"
                         )
-                        for codes in reads:
-                            self._emit_rows(outs[s], self.states[s], prefix, codes)
+                        for canon in canons:
+                            self._emit_rows(outs[s], self.states[s], prefix, canon)
             base += n
         pe2_early = stream.state == NativeClassifyStream.PE2_ENDED_EARLY
         for h in (ex1, ex2):
@@ -699,12 +746,13 @@ class MultiStrainDetector:
                     reads = [read_codes_from_batch(batch, r1, k, grouping)]
                     if paired:
                         reads.append(read_codes_from_batch(batch, r1 + 1, k, grouping))
+                    canons = [self._canonical_read(codes) for codes in reads]
                     for s in strain_idx[pair_idx == j]:
                         prefix = (
                             f"{f1}\t{t1[j, s]}\t{i1[j, s]}\t{t2[j, s]}\t{i2[j, s]}\t"
                         )
-                        for codes in reads:
-                            self._emit_rows(outs[s], self.states[s], prefix, codes)
+                        for canon in canons:
+                            self._emit_rows(outs[s], self.states[s], prefix, canon)
 
         for s, st in enumerate(self.states):
             outs[s].write("#%s\ttotal_kmer_evaluated\t%d\n" % (f1, total_kmers_evaluated))
@@ -714,8 +762,15 @@ class MultiStrainDetector:
                 "#%s\ttotal_genome_informative_kmers\t%d\n" % (f1, st.total_informative)
             )
 
-    def _emit_rows(self, out: IO, st: _StrainState, prefix: str, codes: np.ndarray) -> None:
-        ccodes, valid = canonical_codes_np(codes, self.cfg.k)
+    def _canonical_read(self, codes: np.ndarray):
+        """Per-read canonical windows, computed ONCE per read: a passing
+        pair usually passes for MANY related strains, and the windows are
+        a property of the read, not of the strain emitting it."""
+        return canonical_codes_np(codes, self.cfg.k)
+
+    def _emit_rows(self, out: IO, st: _StrainState, prefix: str,
+                   canon: "tuple[np.ndarray, np.ndarray]") -> None:
+        ccodes, valid = canon
         if ccodes.size == 0:
             return
         pos = np.searchsorted(st.codes_sorted, ccodes)
