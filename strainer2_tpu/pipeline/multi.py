@@ -270,11 +270,24 @@ def run_strain_track(
 
     from strainer2_tpu.io.batches import pack_stream
 
+    # valid-window tally stays ON DEVICE across the stream (a per-batch
+    # scalar readback permanently degrades the relay-attached TPU —
+    # docs/PERFORMANCE.md "Measurement caveats"); the int32 device scalar
+    # spills into the Python int every 1024 batches (~1e9 windows, safely
+    # under 2^31) so arbitrarily long streams still tally exactly
+    valid_acc = jnp.zeros((), dtype=jnp.int32)
+    pending_batches = 0
     for batch in pack_stream(read_stream(), k, rows=256, row_len=4096):
         counts, n_valid = engine.count_batch_with_valid(
             counts, table, t.h_bits, t.salt, batch.bases
         )
-        non_n_windows += int(np.asarray(n_valid))
+        valid_acc = valid_acc + n_valid
+        pending_batches += 1
+        if pending_batches == 1024:
+            non_n_windows += int(np.asarray(valid_acc))
+            valid_acc = jnp.zeros((), dtype=jnp.int32)
+            pending_batches = 0
+    non_n_windows += int(np.asarray(valid_acc))
     per_key = surviving.key_values(np.asarray(counts)).astype(np.int64)
     num_matches = int(per_key.sum())
 
