@@ -221,6 +221,24 @@ def _count_panel(
                     f"could not read file {getattr(e, 'filename', None) or e} "
                     "in GEN_calculate_kmer_count()"
                 )
+        elif (
+            checkpoint is None
+            and len(todo) > 1
+            and _count_threads(len(todo)) > 1
+        ):
+            # device-engine path (TPU, or STRAINER2_NATIVE_COUNT=0): the
+            # binding stage of the device-fed pipeline is host decode+pack
+            # (docs/PERFORMANCE.md "Sustained device-fed"), so several
+            # files pack on worker threads feeding ONE device accumulator
+            try:
+                counts = _count_files_device_parallel(
+                    engine, index, counts, todo, _count_threads(len(todo)), cfg
+                )
+            except OSError as e:
+                _exit_could_not_read(
+                    f"could not read file {getattr(e, 'filename', None) or e} "
+                    "in GEN_calculate_kmer_count()"
+                )
         else:
             for path in todo:
                 try:
@@ -235,6 +253,73 @@ def _count_panel(
                 if checkpoint is not None:
                     checkpoint.record(column, path, engine.finalize_counts(counts))
     return index.key_values(engine.finalize_counts(counts))
+
+
+def _count_files_device_parallel(engine, index, counts, todo, n_threads, cfg):
+    """Multi-file feeder for the DEVICE counting engine: worker threads
+    each decode+pack their own files (the measured binding stage of the
+    device-fed pipeline) while batch dispatches serialize through one
+    shared device accumulator under a lock — the device dependency chain
+    orders the scatter-adds, and integer adds are order-independent, so
+    counts are bit-identical to the sequential loop regardless of the
+    interleave (pinned by tests/test_parallel.py).  Used only on the
+    non-checkpointed path: file-granular resume needs sequential,
+    per-file-complete count snapshots."""
+    import threading
+
+    from strainer2_tpu import native
+    from strainer2_tpu.io.batches import pack_stream
+    from strainer2_tpu.io.fastx import read_fastx
+    from strainer2_tpu.utils.observability import stage
+
+    table = engine.table_for(index)
+    t = index.table
+    dispatch_lock = threading.Lock()
+    path_lock = threading.Lock()
+    paths = iter(todo)
+    box = {"counts": counts}
+    errs: list[BaseException] = []
+
+    def worker():
+        while True:
+            with path_lock:
+                path = next(paths, None)
+            if path is None or errs:
+                return
+            try:
+                if native.available():
+                    stream = native.NativePackStream(
+                        [path], engine.k, cfg.rows, cfg.row_len
+                    )
+                else:
+                    seqs = (rec.seq for rec in read_fastx(path))
+                    stream = pack_stream(
+                        seqs, engine.k, rows=cfg.rows, row_len=cfg.row_len
+                    )
+                for batch in stream:
+                    bases = batch.bases  # packed OUTSIDE the lock
+                    with dispatch_lock:
+                        box["counts"] = engine.count_batch(
+                            box["counts"], table, t.h_bits, t.salt, bases
+                        )
+            except BaseException as e:
+                if isinstance(e, OSError) and not getattr(e, "filename", None):
+                    e.filename = path
+                errs.append(e)
+                return
+
+    with stage("scrub.panel_lookups"):
+        threads = [
+            threading.Thread(target=worker, name=f"s2-device-feed-{i}")
+            for i in range(n_threads)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+    if errs:
+        raise errs[0]
+    return box["counts"]
 
 
 def _count_threads(n_files: int) -> int:

@@ -216,3 +216,50 @@ def test_sharded_multi_strain_classify_matches_single_chip(setup, mesh_shape):
         np.testing.assert_array_equal(np.asarray(tot_s).sum(axis=0), np.asarray(tot1))
         np.testing.assert_array_equal(np.asarray(inf_s).sum(axis=0), np.asarray(inf1))
     assert int(np.asarray(tot1).sum()) > 0
+
+
+def test_device_parallel_panel_feed_matches_sequential(tmp_path, monkeypatch):
+    """The multi-file device feeder (scrub_count._count_files_device_parallel:
+    pack threads -> one locked device accumulator) must reproduce the
+    sequential device loop byte-for-byte — integer scatter-adds are
+    order-independent, so any batch interleave yields identical counts."""
+    import io
+
+    import numpy as np
+
+    from strainer2_tpu.pipeline.scrub_count import run_scrub_count
+
+    rng = np.random.default_rng(99)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = alpha[rng.integers(0, 4, size=3000)].tobytes().decode()
+    with open(tmp_path / "genome.fa", "w") as f:
+        f.write(">g\n" + genome + "\n")
+    panels = []
+    for j in range(5):
+        reads = []
+        for _ in range(40):
+            if rng.random() < 0.5:
+                start = int(rng.integers(0, len(genome) - 80))
+                reads.append(genome[start : start + 80])
+            else:
+                reads.append(alpha[rng.integers(0, 4, size=80)].tobytes().decode())
+        p = tmp_path / f"panel_{j}.fa"
+        with open(p, "w") as f:
+            for i, s in enumerate(reads):
+                f.write(f">r{i}\n{s}\n")
+        panels.append(str(p))
+    with open(tmp_path / "panels.txt", "w") as f:
+        f.write("\n".join(panels) + "\n")
+
+    monkeypatch.setenv("STRAINER2_NATIVE_COUNT", "0")  # force the jit engine
+    monkeypatch.setenv("STRAINER2_COUNT_THREADS", "1")
+    seq = io.StringIO()
+    run_scrub_count(str(tmp_path / "genome.fa"), str(tmp_path / "panels.txt"),
+                    str(tmp_path / "panels.txt"), out=seq)
+
+    monkeypatch.setenv("STRAINER2_COUNT_THREADS", "3")
+    par = io.StringIO()
+    run_scrub_count(str(tmp_path / "genome.fa"), str(tmp_path / "panels.txt"),
+                    str(tmp_path / "panels.txt"), out=par)
+    assert par.getvalue() == seq.getvalue()
+    assert seq.getvalue().count("\n") > 10
