@@ -263,3 +263,39 @@ def test_device_parallel_panel_feed_matches_sequential(tmp_path, monkeypatch):
                     str(tmp_path / "panels.txt"), out=par)
     assert par.getvalue() == seq.getvalue()
     assert seq.getvalue().count("\n") > 10
+
+
+def test_device_parallel_feed_unreadable_file_contract(tmp_path, monkeypatch, capsys):
+    """The multi-file device feeder must keep the reference's unreadable
+    -panel-file error contract (exit 1 + the exact stderr line) even when
+    the failure happens on a worker thread."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    from strainer2_tpu.pipeline.scrub_count import run_scrub_count
+
+    rng = np.random.default_rng(5)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = alpha[rng.integers(0, 4, size=2000)].tobytes().decode()
+    with open(tmp_path / "genome.fa", "w") as f:
+        f.write(">g\n" + genome + "\n")
+    good = []
+    for j in range(3):
+        p = tmp_path / f"panel_{j}.fa"
+        with open(p, "w") as f:
+            f.write(">r\n" + genome[:200] + "\n")
+        good.append(str(p))
+    missing = str(tmp_path / "nope.fa")
+    with open(tmp_path / "panels.txt", "w") as f:
+        f.write("\n".join(good + [missing]) + "\n")
+
+    monkeypatch.setenv("STRAINER2_NATIVE_COUNT", "0")
+    monkeypatch.setenv("STRAINER2_COUNT_THREADS", "3")
+    with pytest.raises(SystemExit) as ex:
+        run_scrub_count(str(tmp_path / "genome.fa"), str(tmp_path / "panels.txt"),
+                        str(tmp_path / "panels.txt"), out=io.StringIO())
+    assert ex.value.code == 1
+    err = capsys.readouterr().err
+    assert f"could not read file {missing} in GEN_calculate_kmer_count()" in err
