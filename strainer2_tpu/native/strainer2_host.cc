@@ -803,7 +803,14 @@ struct HitsParse {
 
 static void parse_hits_row(const char* s, const char* e, HitsParse* p) {
   if (e > s && e[-1] == '\r') --e;
-  if (s == e) return;
+  if (s == e) {
+    // blank (or CR-only) data line: the Python oracle — and the reference
+    // script — raise on it (content[1] of ['']), so the native parse must
+    // not silently accept what the canonical path rejects; bad_row sends
+    // the caller to the Python parse, which then fails identically.
+    p->bad_row = true;
+    return;
+  }
   if (*s == '#') {
     p->comments.append(s, (size_t)(e - s));
     p->comments.push_back('\n');

@@ -40,6 +40,15 @@ __all__ = ["boundary_strain_sums", "DEFAULT_CHUNK"]
 
 DEFAULT_CHUNK = 256
 
+# Body selector, captured ONCE at import: jit caches the traced body, so a
+# mid-process env flip would otherwise leave a warm cache on the old path and
+# an in-process A/B could silently compare SWAR against itself.  Reading the
+# env exactly once makes the semantics explicit — the variable must be set
+# before the interpreter imports this module.  For an in-process A/B,
+# monkeypatch this attribute and jit a fresh callable per setting
+# (tests/test_segsum.py does both).
+_SEGSUM_EXPAND = os.environ.get("STRAINER2_SEGSUM", "swar") == "expand"
+
 
 def _field_sums16(x):
     """Per-field sums over the last axis of packed 0/1 2-bit fields (SWAR).
@@ -125,10 +134,9 @@ def boundary_strain_sums(masked_words, boundaries, n_strains, *, chunk=DEFAULT_C
 
     STRAINER2_SEGSUM=expand restores the bit-expanded chunk reduction for
     A/B checks (default: the SWAR vertical counters, same integers).
-    NOTE: the variable is read at *trace* time — under jit a warm cache
-    keeps the path chosen at first trace, so set it before the first call
-    of the process (or use a fresh jitted callable per setting, as
-    tests/test_segsum.py does) when A/B-comparing within one process.
+    NOTE: the variable is captured ONCE at module import (_SEGSUM_EXPAND
+    above) — changing the env mid-process has no effect, by design; an
+    in-process A/B monkeypatches the attribute and jits fresh callables.
     """
     import jax.numpy as jnp
 
@@ -136,7 +144,7 @@ def boundary_strain_sums(masked_words, boundaries, n_strains, *, chunk=DEFAULT_C
         raise ValueError(
             f"chunk must be in [1, 65535] (16-bit SWAR slot cap), got {chunk}"
         )
-    swar = os.environ.get("STRAINER2_SEGSUM", "swar") != "expand"
+    swar = not _SEGSUM_EXPAND
     q = masked_words[0].shape[0]
     n_chunks = -(-q // chunk) if q else 1
     pad = n_chunks * chunk - q

@@ -287,10 +287,7 @@ def run_multi_pipeline(
     """
     from strainer2_tpu.pipeline.coverage import run_coverage_depth
     from strainer2_tpu.pipeline.detect import DetectConfig
-    from strainer2_tpu.pipeline.multi_detect import (
-        MAX_STRAINS_PER_PASS,
-        MultiStrainDetector,
-    )
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
     from strainer2_tpu.pipeline.multi_scrub import multi_scrub_counts
     from strainer2_tpu.pipeline.scrub_count import ScrubCountConfig, write_scrub_table
     from strainer2_tpu.utils.observability import stage
@@ -340,7 +337,6 @@ def run_multi_pipeline(
     all_paths = []
     counts_writers: list = []
     counts_write_err: list[BaseException] = []
-    _err_lock = threading.Lock()
     for r_file in r_files:
         paths = {
             "counts": out_path(r_file, ".scrub_kmer_counts.gz")
@@ -385,27 +381,41 @@ def run_multi_pipeline(
                     index, order, col_pan, col_meta, col_drug,
                     paths["scrubbed"], fcfg, err_buf,
                 )
-        except BaseException:
-            # a failing filter (e.g. too-few-kmers SystemExit) must still
-            # land its diagnostics on the real stderr before propagating
-            with _err_lock:
-                err.write(err_buf.getvalue())
+        except BaseException as e:
+            # carry the partial diagnostics so the consumer below can flush
+            # them in strain order before propagating (the serial contract:
+            # earlier strains' stderr first, then the failing strain's —
+            # same pattern as MultiStrainDetector._build_one)
+            e._s2_err = err_buf.getvalue()  # type: ignore[attr-defined]
             raise
         return (r_file, index, informative), err_buf.getvalue()
 
     prep_args = list(zip(r_files, strain_indexes, columns, all_paths))
     threads = strain_threads(len(r_files))
+    prebuilt: list = []
+
+    def _consume(fu_result):
+        """Flush each strain's buffered stderr in strain order as results
+        resolve, so diagnostics preceding a failure still reach stderr."""
+        try:
+            p, err_text = fu_result()
+        except BaseException as e:
+            err.write(getattr(e, "_s2_err", ""))
+            raise
+        if err_text:
+            err.write(err_text)
+        prebuilt.append(p)
+
     if threads > 1 and len(prep_args) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(threads) as ex:
-            prepped = list(ex.map(_prep_strain, prep_args))
+            futures = [ex.submit(_prep_strain, a) for a in prep_args]
+            for fu in futures:  # strain order, as the serial loop wrote
+                _consume(fu.result)
     else:
-        prepped = [_prep_strain(a) for a in prep_args]
-    prebuilt = [p for p, _ in prepped]
-    for _, err_text in prepped:  # strain-ordered, as the serial loop wrote
-        if err_text:
-            err.write(err_text)
+        for a in prep_args:
+            _consume(lambda a=a: _prep_strain(a))
 
     # passes sized by strain count AND projected union row-table bytes
     # against the device budget (multi_detect.plan_strain_passes; exact

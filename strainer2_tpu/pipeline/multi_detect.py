@@ -153,15 +153,57 @@ def plan_strain_passes(kmer_counts, *, max_strains=MAX_STRAINS_PER_PASS,
     return passes
 
 
+def _gzip_total_uncompressed(path: str) -> int | None:
+    """Exact total uncompressed length of a (possibly multi-member) gzip
+    file: streaming decode of every member, counting bytes, storing
+    nothing.  Stops cleanly at trailing non-gzip bytes after a complete
+    member (bgzip pads, archive padding).  None on a decode error — the
+    caller falls back to the trailer heuristic and the real scan will
+    surface the reference-exact diagnostic later."""
+    import zlib
+
+    total = 0
+    d = zlib.decompressobj(wbits=31)
+    try:
+        with open(path, "rb") as f:
+            while True:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                while chunk:
+                    total += len(d.decompress(chunk))
+                    if not d.eof:
+                        break
+                    # member finished mid-chunk: the remainder is either
+                    # the next member or trailing junk
+                    chunk = d.unused_data
+                    if not chunk.startswith(b"\x1f\x8b"):
+                        return total
+                    d = zlib.decompressobj(wbits=31)
+    except zlib.error:
+        return None
+    if not d.eof:
+        return None  # truncated final member: trailer is untrustworthy too
+    return total
+
+
 def estimate_genome_kmers(path: str) -> int:
     """Upper-bound estimate of a genome's distinct canonical k-mers for
-    pass planning, without scanning: the uncompressed byte size (>= bases
-    >= windows >= distinct k-mers).  For .gz, the ISIZE trailer
-    (uncompressed length mod 2^32 — exact for genomes under 4 GiB;
-    multi-member files report only the last member, still fine for
-    planning); otherwise the file size."""
+    pass planning, without a k-mer scan: the uncompressed byte size
+    (>= bases >= windows >= distinct k-mers).
+
+    For .gz the exact length comes from one streaming decode over all
+    members (_gzip_total_uncompressed) — the ISIZE trailer alone reports
+    only the LAST member, so a multi-member file (cat of .gz parts, bgzip
+    — common for genomes) would undersize the bound and the planner would
+    over-pack passes.  The decode is milliseconds per genome, noise next
+    to the panel/target scans the plan governs.  On a corrupt stream the
+    trailer (then the compressed size) remains the fallback."""
     size = os.path.getsize(path)
     if path.endswith(".gz") and size >= 20:
+        total = _gzip_total_uncompressed(path)
+        if total:
+            return total
         with open(path, "rb") as f:
             f.seek(-4, 2)
             isize = int.from_bytes(f.read(4), "little")

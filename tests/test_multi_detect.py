@@ -97,8 +97,9 @@ def test_detect_multi_cli_through_planner(tmp_path):
 
 
 def test_estimate_genome_kmers(tmp_path):
-    """Planner estimates: gzip ISIZE for .gz (uncompressed bytes), file
-    size for plain — both upper bounds on distinct k-mers."""
+    """Planner estimates: exact uncompressed bytes for .gz (ALL members —
+    a cat of .gz parts must not report just the last member), file size
+    for plain — both upper bounds on distinct k-mers."""
     import gzip as _gzip
 
     from strainer2_tpu.pipeline.multi_detect import estimate_genome_kmers
@@ -111,6 +112,33 @@ def test_estimate_genome_kmers(tmp_path):
     with _gzip.open(gz, "wb") as f:
         f.write(body)
     assert estimate_genome_kmers(str(gz)) == len(body)
+
+    # multi-member (cat of two .gz): the ISIZE trailer sees only the tiny
+    # last member — the estimate must cover BOTH members
+    tail = b">h\n" + b"AC" * 10 + b"\n"
+    gz2 = tmp_path / "m.fa.gz"
+    with _gzip.open(tmp_path / "tail.gz", "wb") as f:
+        f.write(tail)
+    gz2.write_bytes(gz.read_bytes() + (tmp_path / "tail.gz").read_bytes())
+    assert estimate_genome_kmers(str(gz2)) == len(body) + len(tail)
+
+    # bgzip-style: a trailing empty member (ISIZE 0) must not zero the bound
+    empty = _gzip.compress(b"")
+    gz3 = tmp_path / "b.fa.gz"
+    gz3.write_bytes(gz.read_bytes() + empty)
+    assert estimate_genome_kmers(str(gz3)) == len(body)
+
+    # trailing non-gzip padding after a complete member: clean stop
+    gz4 = tmp_path / "p.fa.gz"
+    gz4.write_bytes(gz.read_bytes() + b"\x00" * 64)
+    assert estimate_genome_kmers(str(gz4)) == len(body)
+
+    # truncated mid-member: decode fails, trailer garbage — the compressed
+    # size (never 0) remains a usable planning value
+    blob = gz.read_bytes()
+    gz5 = tmp_path / "t.fa.gz"
+    gz5.write_bytes(blob[: len(blob) // 2])
+    assert estimate_genome_kmers(str(gz5)) > 0
 
 
 def test_union_over_budget_fails_loudly(tmp_path, monkeypatch):

@@ -7,9 +7,10 @@ chunk multiple, partial last meta word, dense (read < chunk) and sparse
 
 Every case runs under BOTH vector-program bodies — the SWAR vertical
 counters (default) and the bit-expanded A/B control
-(STRAINER2_SEGSUM=expand) — so the env switch stays a real control.  The
-flag is read at trace time; each case jits a fresh lambda, so the
-per-parametrization setenv takes effect despite jit caching.
+(STRAINER2_SEGSUM=expand) — so the switch stays a real control.  The env
+variable is captured once at module import (segsum._SEGSUM_EXPAND), so
+the per-parametrization control patches the attribute directly; each case
+jits a fresh lambda so the patched body actually retraces.
 """
 
 import numpy as np
@@ -18,12 +19,13 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 
+from strainer2_tpu.ops import segsum
 from strainer2_tpu.ops.segsum import boundary_strain_sums
 
 
 @pytest.fixture(params=["swar", "expand"], autouse=True)
 def segsum_mode(request, monkeypatch):
-    monkeypatch.setenv("STRAINER2_SEGSUM", request.param)
+    monkeypatch.setattr(segsum, "_SEGSUM_EXPAND", request.param == "expand")
     return request.param
 
 
