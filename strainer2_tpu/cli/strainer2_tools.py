@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("-p", dest="p_file", default=None, help="progress output file")
     ms.add_argument("-o", dest="out_dir", required=True,
                     help="output directory; one <genome-stem>.scrub_kmer_counts.tsv per strain")
+    ms.add_argument("--checkpoint", dest="checkpoint_dir", default=None,
+                    help="checkpoint directory: the shared union panel scan "
+                    "resumes at file granularity (bit-identical; keyed to "
+                    "the strain set, so a stale checkpoint restarts fresh)")
 
     fp = sub.add_parser(
         "pipeline",
@@ -93,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
     fp.add_argument("--no-intermediates", action="store_true",
                     help="skip writing scrub_kmer_counts.gz / scrubbed_kmers.gz")
     fp.add_argument("-o", dest="out_dir", required=True, help="output directory")
+    fp.add_argument("--checkpoint", dest="checkpoint_dir", default=None,
+                    help="checkpoint directory: panel counting resumes at "
+                    "file granularity, detection at sample granularity "
+                    "(bit-identical to an uninterrupted run)")
 
     fpm = sub.add_parser(
         "pipeline-multi",
@@ -114,6 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
     fpm.add_argument("--min_kmer_hits", type=int, default=1)
     fpm.add_argument("--no-intermediates", action="store_true")
     fpm.add_argument("-o", dest="out_dir", required=True, help="output directory")
+    fpm.add_argument("--checkpoint", dest="checkpoint_dir", default=None,
+                     help="checkpoint directory: the shared union panel scan "
+                     "resumes at file granularity, each detection pass at "
+                     "sample granularity (bit-identical; keyed to the strain "
+                     "set and filter config, so stale state restarts fresh)")
     return p
 
 
@@ -187,7 +200,7 @@ def main(argv: list[str] | None = None) -> int:
             outs.append(open(os.path.join(args.out_dir, _stem(r) + ".scrub_kmer_counts.tsv"), "w"))
         try:
             run_multi_scrub(r_files, args.a_list, args.b_list, args.c_list, outs,
-                            progress=progress)
+                            progress=progress, checkpoint_dir=args.checkpoint_dir)
         finally:
             for o in outs:
                 o.close()
@@ -200,6 +213,7 @@ def main(argv: list[str] | None = None) -> int:
             args.r_file, args.a_list, args.b_list, args.target_list,
             args.out_dir, c_list=args.c_list,
             background_list=args.background_list,
+            checkpoint_dir=args.checkpoint_dir,
             fused_cfg=FusedConfig(
                 min_fraction=args.min_fraction,
                 independent=args.independent,
@@ -223,6 +237,7 @@ def main(argv: list[str] | None = None) -> int:
             r_files, args.a_list, args.b_list,
             args.target_list, args.out_dir, c_list=args.c_list,
             background_list=args.background_list,
+            checkpoint_dir=args.checkpoint_dir,
             fused_cfg=FusedConfig(
                 min_fraction=args.min_fraction,
                 independent=args.independent,

@@ -115,8 +115,16 @@ def run_pipeline(
     progress=None,
     err=None,
     stdout=None,
+    checkpoint_dir: str | None = None,
 ) -> dict:
-    """Run all four stages; returns the output paths keyed by stage."""
+    """Run all four stages; returns the output paths keyed by stage.
+
+    checkpoint_dir enables resume for the two long stages, bit-identical
+    to an uninterrupted run: panel counting at file granularity
+    (<dir>/scrub, keyed to the strain's k-mer set so a stale checkpoint
+    can't mix) and detection at sample granularity (<dir>/detect).  The
+    filter and coverage stages recompute — they are seconds next to the
+    scans they sit between."""
     from strainer2_tpu.constants import COL_DRUG, COL_METAGENOME, COL_PANGENOME
     from strainer2_tpu.index.build import StrainIndex
     from strainer2_tpu.pipeline.coverage import run_coverage_depth
@@ -172,13 +180,28 @@ def run_pipeline(
     pidx, pcount = initialize()
     partition = (pidx, pcount) if pcount > 1 else None
 
+    ckpt = None
+    if checkpoint_dir:
+        from strainer2_tpu.pipeline.multi_scrub import union_checkpoint_key
+        from strainer2_tpu.pipeline.progress import ScrubCheckpoint
+
+        scrub_dir = os.path.join(checkpoint_dir, "scrub")
+        if pcount > 1:
+            scrub_dir = os.path.join(scrub_dir, f"rank{pidx}")
+        ckpt = ScrubCheckpoint(
+            scrub_dir, key=union_checkpoint_key(index.codes, cfg.k)
+        )
+
     col_pan = _count_panel(engine, index, a_list, cfg, progress,
-                           column=COL_PANGENOME, partition=partition)
+                           column=COL_PANGENOME, partition=partition,
+                           checkpoint=ckpt)
     col_meta = _count_panel(engine, index, b_list, cfg, progress,
-                            column=COL_METAGENOME, partition=partition)
+                            column=COL_METAGENOME, partition=partition,
+                            checkpoint=ckpt)
     col_drug = (
         _count_panel(engine, index, c_list, cfg, progress,
-                     skip_path=r_file, column=COL_DRUG, partition=partition)
+                     skip_path=r_file, column=COL_DRUG, partition=partition,
+                     checkpoint=ckpt)
         if c_list
         else None
     )
@@ -245,7 +268,12 @@ def run_pipeline(
     )
     if background_list:
         det.background_filter(background_list)
-    det.quantify_all(paths["hits"], batch_list=target_list)
+    det.quantify_all(
+        paths["hits"], batch_list=target_list,
+        checkpoint_dir=(
+            os.path.join(checkpoint_dir, "detect") if checkpoint_dir else None
+        ),
+    )
 
     if pcount > 1 and pidx != 0:
         return paths  # rank 0 owns the remaining artifacts
@@ -274,6 +302,7 @@ def run_multi_pipeline(
     progress=None,
     err=None,
     stdout=None,
+    checkpoint_dir: str | None = None,
 ) -> list:
     """Fused pipeline for S strains: ONE shared scan of the -A/-B/-C panels
     (the union-index trick of pipeline/multi_scrub.py), per-strain in-memory
@@ -284,6 +313,17 @@ def run_multi_pipeline(
     panels and the target metagenomes are each read once instead of S times
     — the fused form of the reference's one-Snakemake-job-per-strain fan-out
     (reference test/Snakemake.strain_detect:23-50).
+
+    checkpoint_dir enables resume for the two long stages, bit-identical
+    to an uninterrupted run: the shared UNION panel scan at file
+    granularity (<dir>/scrub, keyed to a content hash of the union k-mer
+    set — multi_scrub.union_checkpoint_key — so a checkpoint from a
+    different strain set can never mix in) and each multi-strain detection
+    pass at sample granularity (<dir>/detect_<pass>_<identity-hash>,
+    where the hash covers the pass's strains, their informative sets, and
+    the filter/background configuration).  Per-strain index builds,
+    filters, and coverage recompute on resume — they are seconds next to
+    the scans.
     """
     from strainer2_tpu.pipeline.coverage import run_coverage_depth
     from strainer2_tpu.pipeline.detect import DetectConfig
@@ -326,7 +366,10 @@ def run_multi_pipeline(
 
     with stage("fused.multi_scrub"):
         strain_indexes, columns = multi_scrub_counts(
-            r_files, a_list, b_list, c_list, cfg, progress
+            r_files, a_list, b_list, c_list, cfg, progress,
+            checkpoint_dir=(
+                os.path.join(checkpoint_dir, "scrub") if checkpoint_dir else None
+            ),
         )
 
     import io
@@ -422,6 +465,30 @@ def run_multi_pipeline(
     # per-strain index sizes are known here)
     from strainer2_tpu.pipeline.multi_detect import plan_strain_passes
 
+    def _detect_ckpt_dir(start: int, chunk) -> str | None:
+        """Per-pass detect checkpoint directory.  The identity hash covers
+        what determines a pass's outputs beyond the (f1, f2, type) keys
+        DetectCheckpoint checks per sample: the pass's strain files, each
+        strain's informative k-mer SET (a content hash — the filter's
+        outcome, so changed panels/filter params change it), and the
+        background/filter configuration.  A rerun with anything different
+        lands in a different directory instead of replaying stale rows."""
+        if not checkpoint_dir:
+            return None
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(
+            f"m={fcfg.min_fraction};i={fcfg.independent};"
+            f"g={background_list};".encode()
+        )
+        for r_file, index, informative in chunk:
+            h.update(f"{r_file};{index.num_kmers};".encode())
+            h.update(np.ascontiguousarray(index.codes[informative]).tobytes())
+        return os.path.join(
+            checkpoint_dir, f"detect_{start}_{h.hexdigest()[:16]}"
+        )
+
     for start, end in plan_strain_passes([idx.num_kmers for _, idx, _ in prebuilt]):
         chunk = prebuilt[start:end]
         with stage("fused.multi_detect"):
@@ -431,7 +498,8 @@ def run_multi_pipeline(
                 background_list=background_list, prebuilt=chunk,
             )
             det.quantify_all(
-                [p["hits"] for p in all_paths[start:end]], target_list
+                [p["hits"] for p in all_paths[start:end]], target_list,
+                checkpoint_dir=_detect_ckpt_dir(start, chunk),
             )
 
     if pcount > 1 and pidx != 0:

@@ -34,7 +34,12 @@ from strainer2_tpu.pipeline.scrub_count import (
     write_scrub_table,
 )
 
-__all__ = ["run_multi_scrub", "multi_scrub_counts", "strain_threads"]
+__all__ = [
+    "run_multi_scrub",
+    "multi_scrub_counts",
+    "strain_threads",
+    "union_checkpoint_key",
+]
 
 
 def strain_threads(n_strains: int) -> int:
@@ -52,6 +57,21 @@ def strain_threads(n_strains: int) -> int:
     return max(1, min(os.cpu_count() or 1, 8, n_strains))
 
 
+def union_checkpoint_key(union_codes: np.ndarray, k: int) -> str:
+    """Identity key for a union-count checkpoint: a content hash of the
+    union k-mer set (plus k).  Slot-indexed count buffers are only valid
+    against the exact table geometry they were recorded for, and the
+    geometry is a pure function of the union codes — so a checkpoint
+    recorded for a different strain set (or after a genome edit) hashes
+    differently and is discarded instead of silently mixing counts."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(f"k={k};n={union_codes.shape[0]};".encode())
+    h.update(np.ascontiguousarray(union_codes).tobytes())
+    return h.hexdigest()
+
+
 def multi_scrub_counts(
     r_files: list[str],
     a_list: str,
@@ -60,11 +80,23 @@ def multi_scrub_counts(
     cfg: ScrubCountConfig,
     progress: IO | None = None,
     strain_indexes: "list[StrainIndex] | None" = None,
+    checkpoint_dir: str | None = None,
 ):
     """ONE shared panel scan over the union of S strains' k-mer sets.
 
     Returns (strain_indexes, per-strain (col_pan, col_meta, col_drug)
-    column triples) with counts identical to S independent scans."""
+    column triples) with counts identical to S independent scans.
+
+    checkpoint_dir enables restartable UNION counting at panel-file
+    granularity (the multi-strain twin of run_scrub_count's checkpoint):
+    each completed panel file persists the merged slot-indexed union count
+    buffer, keyed by a content hash of the union k-mer set so a checkpoint
+    from a different strain set can never mix in (union_checkpoint_key).
+    Checkpointed counting is sequential per file (file-granular resume
+    needs per-file-complete snapshots); the per-strain own-file -C
+    contributions are NOT checkpointed — one genome scan per distinct
+    strain file, noise next to the panel scans.  Resumed runs are
+    bit-identical to uninterrupted ones (integer accumulation)."""
     import jax.numpy as jnp
 
     engine = KmerEngine(cfg.k)
@@ -101,7 +133,19 @@ def multi_scrub_counts(
 
     pidx, pcount = jax.process_index(), jax.process_count()
 
-    def count_list(paths: list[str]):
+    ckpt = None
+    if checkpoint_dir:
+        from strainer2_tpu.pipeline.progress import ScrubCheckpoint
+
+        if pcount > 1:
+            # each rank checkpoints ITS partition's running counts (same
+            # contract as run_scrub_count's per-rank subdirectories)
+            checkpoint_dir = os.path.join(checkpoint_dir, f"rank{pidx}")
+        ckpt = ScrubCheckpoint(
+            checkpoint_dir, key=union_checkpoint_key(union_codes, cfg.k)
+        )
+
+    def count_list(paths: list[str], column: int):
         from strainer2_tpu.pipeline.scrub_count import (
             _use_native_counting,
             count_files_native_pooled,
@@ -113,23 +157,61 @@ def multi_scrub_counts(
             paths = host_file_partition(paths, pidx, pcount)
         for path in paths:
             _progress_line(progress, path)
-        nc = union.native_counter() if _use_native_counting(engine) else None
-        counts_np = count_files_native_pooled(nc, paths, union.table.num_slots)
-        if counts_np is None:
-            counts = jnp.zeros(union.table.num_slots, dtype=jnp.uint32)
+        use_native = _use_native_counting(engine)
+        if ckpt is not None:
+            # sequential with a per-file-complete snapshot after each file
+            # — the resume contract; duplicates re-count (multiset), as in
+            # scrub_count._count_panel
+            from collections import Counter
+
+            done = Counter(ckpt.done_files(column))
+            counts_np = ckpt.counts(column)
+            todo = []
             for path in paths:
-                counts = count_panel_file(
-                    engine, union, counts, path, cfg.rows, cfg.row_len
+                if done[path] > 0:
+                    done[path] -= 1
+                    continue
+                todo.append(path)
+            if use_native:
+                if counts_np is None:
+                    counts_np = np.zeros(union.table.num_slots, dtype=np.uint32)
+                nc = union.native_counter()
+                for path in todo:
+                    nc.count_file(counts_np, path)
+                    ckpt.record(column, path, counts_np)
+            else:
+                counts = (
+                    engine.counts_from_numpy(union, counts_np)
+                    if counts_np is not None
+                    else jnp.zeros(union.table.num_slots, dtype=jnp.uint32)
                 )
-            counts_np = np.asarray(counts)
+                for path in todo:
+                    counts = count_panel_file(
+                        engine, union, counts, path, cfg.rows, cfg.row_len
+                    )
+                    counts_np = engine.finalize_counts(counts)
+                    ckpt.record(column, path, counts_np)
+                counts_np = engine.finalize_counts(counts)
+        else:
+            nc = union.native_counter() if use_native else None
+            counts_np = count_files_native_pooled(nc, paths, union.table.num_slots)
+            if counts_np is None:
+                counts = jnp.zeros(union.table.num_slots, dtype=jnp.uint32)
+                for path in paths:
+                    counts = count_panel_file(
+                        engine, union, counts, path, cfg.rows, cfg.row_len
+                    )
+                counts_np = np.asarray(counts)
         if pcount > 1:
             from strainer2_tpu.parallel.distributed import merge_across_hosts
 
             counts_np = merge_across_hosts(counts_np)
         return union.key_values(counts_np).astype(np.uint32)
 
-    pan_union = count_list(read_list_file(a_list))
-    meta_union = count_list(read_list_file(b_list))
+    from strainer2_tpu.constants import COL_DRUG, COL_METAGENOME, COL_PANGENOME
+
+    pan_union = count_list(read_list_file(a_list), COL_PANGENOME)
+    meta_union = count_list(read_list_file(b_list), COL_METAGENOME)
 
     drug_union = None
     own_contrib: dict[str, np.ndarray] = {}
@@ -137,7 +219,7 @@ def multi_scrub_counts(
         from collections import Counter
 
         drug_paths = read_list_file(c_list)
-        drug_union = count_list(drug_paths)
+        drug_union = count_list(drug_paths, COL_DRUG)
         listed = Counter(drug_paths)
         # each strain subtracts its own genome's contribution: the reference
         # skips EVERY occurrence of the strain's -r path in the -C list
@@ -177,12 +259,16 @@ def run_multi_scrub(
     outs: list[IO],
     cfg: ScrubCountConfig | None = None,
     progress: IO | None = None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Emit one reference-identical scrub-count table per strain from one
-    shared scan of the -A/-B (and -C) panels."""
+    shared scan of the -A/-B (and -C) panels.  checkpoint_dir enables
+    panel-file-granular resume of the union counting (bit-identical; see
+    multi_scrub_counts)."""
     cfg = cfg or ScrubCountConfig()
     strain_indexes, columns = multi_scrub_counts(
-        r_files, a_list, b_list, c_list, cfg, progress
+        r_files, a_list, b_list, c_list, cfg, progress,
+        checkpoint_dir=checkpoint_dir,
     )
     for ix, (col_pan, col_meta, col_drug), out in zip(strain_indexes, columns, outs):
         write_scrub_table(

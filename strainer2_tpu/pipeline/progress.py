@@ -32,16 +32,35 @@ __all__ = ["ScrubCheckpoint", "DetectCheckpoint"]
 
 
 class ScrubCheckpoint:
-    """Directory-backed checkpoint: counts_<col>.npy + manifest.json."""
+    """Directory-backed checkpoint: counts_<col>.npy + manifest.json.
 
-    def __init__(self, directory: str):
+    ``key`` (optional) is an identity string for the COUNTED INDEX (e.g. a
+    content hash of the union k-mer set): a manifest recorded under a
+    different key is stale — its slot-indexed counts belong to a different
+    table geometry — so it is ignored and counting restarts fresh rather
+    than silently mixing counts across indexes (the stale files are
+    overwritten by the first record())."""
+
+    def __init__(self, directory: str, key: str | None = None):
         self.dir = directory
         os.makedirs(directory, exist_ok=True)
         self._manifest_path = os.path.join(directory, "manifest.json")
         self._manifest = {"done": {}}
+        if key is not None:
+            self._manifest["key"] = key
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
-                self._manifest = json.load(f)
+                loaded = json.load(f)
+            if key is None or loaded.get("key") == key:
+                self._manifest = loaded
+            else:
+                import sys
+
+                print(
+                    f"checkpoint {directory} belongs to a different "
+                    "strain set; starting fresh",
+                    file=sys.stderr,
+                )
 
     def done_files(self, column: int) -> list[str]:
         return list(self._manifest["done"].get(str(column), []))

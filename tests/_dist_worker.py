@@ -101,9 +101,11 @@ def main() -> None:
         )
         return
 
-    if mode == "multi":
+    if mode in ("multi", "multi_ckpt"):
         # fused MULTI-strain pipeline in SPMD mode: shared panel scan and
-        # the multi-strain detection passes both partition across ranks
+        # the multi-strain detection passes both partition across ranks.
+        # multi_ckpt adds the checkpoint directory (per-rank scrub subdirs
+        # + per-pass detect checkpoints) — byte-identical either way.
         from strainer2_tpu.pipeline.fused import run_multi_pipeline
 
         run_multi_pipeline(
@@ -115,6 +117,9 @@ def main() -> None:
             os.path.join(workdir, "panels.txt"),
             os.path.join(workdir, "targets.txt"),
             os.path.join(workdir, f"multi_out_{pid}"),
+            checkpoint_dir=(
+                os.path.join(workdir, "mckpt") if mode == "multi_ckpt" else None
+            ),
         )
         return
 

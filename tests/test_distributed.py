@@ -662,3 +662,94 @@ def test_env_var_cli_bringup_two_processes(tmp_path):
     with _gzip.open(tmp_path / "ref.gz", "rb") as a, \
             _gzip.open(tmp_path / "spmd.gz", "rb") as b:
         assert a.read() == b.read()
+
+
+def test_fused_multi_pipeline_two_processes_checkpointed_strain_threads(tmp_path):
+    """pipeline-multi under SPMD (2 real jax.distributed ranks) WITH the
+    union-scan checkpoint AND STRAINER2_STRAIN_THREADS>1: the per-rank
+    scrub checkpoints and the per-pass detect checkpoints compose with the
+    rank partitioning and the strain-thread pool, and rank 0's artifacts
+    are byte-identical to a single-process serial run — both on the fresh
+    checkpointed run and on a full resume."""
+    rng = np.random.default_rng(97)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = [
+        alpha[rng.integers(0, 4, size=2500)].tobytes().decode() for _ in range(2)
+    ]
+    _write_fasta(tmp_path / "genome.fa", [genomes[0]])
+    _write_fasta(tmp_path / "genome2.fa", [genomes[1]])
+    panels = []
+    for j in range(4):
+        reads = []
+        for _ in range(30):
+            r = rng.random()
+            if r < 0.6:
+                g = genomes[int(rng.integers(0, 2))]
+                start = int(rng.integers(0, len(g) - 70))
+                reads.append(g[start : start + 70])
+            else:
+                reads.append(alpha[rng.integers(0, 4, size=70)].tobytes().decode())
+        p = tmp_path / f"panel_{j}.fa"
+        _write_fasta(p, reads)
+        panels.append(str(p))
+    with open(tmp_path / "panels.txt", "w") as f:
+        f.write("\n".join(panels) + "\n")
+    with open(tmp_path / "targets.txt", "w") as f:
+        f.write(f"SE\t{panels[0]}\n")
+        f.write(f"SE\t{panels[1]}\n")
+        f.write(f"PE\t{panels[2]}\t{panels[3]}\n")
+
+    # serial single-process expectation (STRAINER2_STRAIN_THREADS=1)
+    import subprocess as _sp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from strainer2_tpu.pipeline.fused import run_multi_pipeline;"
+        f"run_multi_pipeline([r'{tmp_path}/genome.fa', r'{tmp_path}/genome2.fa'],"
+        f" r'{tmp_path}/panels.txt', r'{tmp_path}/panels.txt',"
+        f" r'{tmp_path}/targets.txt', r'{tmp_path}/multi_ref')"
+    )
+    env_serial = {
+        k_: v for k_, v in os.environ.items()
+        if k_ not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env_serial["PYTHONPATH"] = repo
+    env_serial["JAX_PLATFORMS"] = "cpu"
+    env_serial["STRAINER2_STRAIN_THREADS"] = "1"
+    r = _sp.run([sys.executable, "-c", code], env=env_serial,
+                capture_output=True, timeout=240)
+    assert r.returncode == 0, r.stderr.decode(errors="replace")
+
+    # fresh checkpointed SPMD run with strain threads
+    _launch_scrub_workers(tmp_path, "multi_ckpt",
+                          extra_env={"STRAINER2_STRAIN_THREADS": "2"})
+    import gzip as _gzip
+
+    def compare():
+        n = 0
+        for stem in ("genome", "genome2"):
+            for suffix in (".scrub_kmer_counts.gz", ".scrubbed_kmers.gz",
+                           ".kmer_hits.gz", ".coverage_depth"):
+                ref_p = tmp_path / "multi_ref" / (stem + suffix)
+                got_p = tmp_path / "multi_out_0" / (stem + suffix)
+                if str(ref_p).endswith(".gz"):
+                    with _gzip.open(ref_p, "rb") as a, _gzip.open(got_p, "rb") as b:
+                        assert a.read() == b.read(), (stem, suffix)
+                else:
+                    with open(ref_p, "rb") as a, open(got_p, "rb") as b:
+                        assert a.read() == b.read(), (stem, suffix)
+                n += 1
+        assert n == 8
+    compare()
+    assert (tmp_path / "mckpt" / "scrub" / "rank0").is_dir()
+    assert (tmp_path / "mckpt" / "scrub" / "rank1").is_dir()
+
+    # full resume: counts restore from per-rank checkpoints, detect
+    # payloads replay; artifacts identical again
+    import shutil
+
+    shutil.rmtree(tmp_path / "multi_out_0")
+    _launch_scrub_workers(tmp_path, "multi_ckpt",
+                          extra_env={"STRAINER2_STRAIN_THREADS": "2"})
+    compare()

@@ -243,3 +243,238 @@ def test_detect_index_cache_identical(tmp_path):
                batch_list="data/targets.txt", index_cache=cache)
     with gzip.open(p1, "rb") as a, gzip.open(p2, "rb") as b:
         assert a.read() == b.read()
+
+
+# ---- multi-strain resume (the shared union panel scan + fused pipeline) ----
+
+
+def _run_multi_scrub_mini(r_files, outs, **kw):
+    from strainer2_tpu.pipeline.multi_scrub import run_multi_scrub
+
+    run_multi_scrub(r_files, "data/genomes.txt", "data/metagenomes.txt",
+                    None, outs, **kw)
+
+
+def test_multi_scrub_resume_bit_identical(tmp_path, monkeypatch):
+    """Crash the shared union panel scan mid-panel; the resumed run skips
+    the recorded file, recounts only the rest, and every strain's table is
+    byte-identical to an uninterrupted run."""
+    import json
+
+    from strainer2_tpu.pipeline import progress as prog
+
+    r_files = ["data/strainA.fna.gz", "data/drug1.fna.gz"]
+    outs = [io.StringIO() for _ in r_files]
+    _run_multi_scrub_mini(r_files, outs)
+    want = [o.getvalue() for o in outs]
+
+    class Boom(Exception):
+        pass
+
+    ck = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+    orig_record = prog.ScrubCheckpoint.record
+
+    def crashing(self, column, path, counts):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Boom()
+        return orig_record(self, column, path, counts)
+
+    monkeypatch.setattr(prog.ScrubCheckpoint, "record", crashing)
+    with pytest.raises(Boom):
+        _run_multi_scrub_mini(
+            r_files, [io.StringIO() for _ in r_files], checkpoint_dir=ck
+        )
+    monkeypatch.setattr(prog.ScrubCheckpoint, "record", orig_record)
+
+    with open(os.path.join(ck, "manifest.json")) as f:
+        manifest = json.load(f)
+    done_files = [p for lst in manifest["done"].values() for p in lst]
+    assert done_files, "no file completed before the crash"
+    assert manifest.get("key"), "checkpoint must carry the strain-set key"
+
+    # resume: the recorded file must NOT be recounted, on either engine path
+    from strainer2_tpu.index.build import StrainIndex
+    from strainer2_tpu.pipeline import scrub_count as sc
+
+    orig_nc = StrainIndex.native_counter
+    orig_cpf = sc.count_panel_file
+
+    class GuardNC:
+        def __init__(self, nc):
+            self._nc = nc
+
+        def count_file(self, counts, path):
+            assert path not in done_files, f"recounted {path}"
+            return self._nc.count_file(counts, path)
+
+    monkeypatch.setattr(
+        StrainIndex, "native_counter", lambda self: GuardNC(orig_nc(self))
+    )
+
+    def guard_cpf(engine, index, counts, path, rows, row_len):
+        assert path not in done_files, f"recounted {path}"
+        return orig_cpf(engine, index, counts, path, rows, row_len)
+
+    monkeypatch.setattr(sc, "count_panel_file", guard_cpf)
+    outs = [io.StringIO() for _ in r_files]
+    _run_multi_scrub_mini(r_files, outs, checkpoint_dir=ck)
+    assert [o.getvalue() for o in outs] == want
+
+
+def test_multi_scrub_checkpoint_stale_strain_set_restarts(tmp_path, capsys):
+    """A checkpoint recorded for a DIFFERENT strain set must be discarded
+    (fresh start), not mixed in: the union's slot-indexed counts only mean
+    anything against the exact union they were recorded for."""
+    ck = str(tmp_path / "ckpt")
+    outs = [io.StringIO()]
+    _run_multi_scrub_mini(["data/drug1.fna.gz"], outs, checkpoint_dir=ck)
+
+    r_files = ["data/strainA.fna.gz", "data/drug1.fna.gz"]
+    outs = [io.StringIO() for _ in r_files]
+    _run_multi_scrub_mini(r_files, outs)
+    want = [o.getvalue() for o in outs]
+
+    outs = [io.StringIO() for _ in r_files]
+    _run_multi_scrub_mini(r_files, outs, checkpoint_dir=ck)
+    assert [o.getvalue() for o in outs] == want
+    assert "starting fresh" in capsys.readouterr().err
+
+
+def _mini_multi_pipeline(out_dir, **kw):
+    from strainer2_tpu.pipeline.fused import FusedConfig, run_multi_pipeline
+
+    return run_multi_pipeline(
+        ["data/strainA.fna.gz", "data/drug1.fna.gz"],
+        "data/genomes.txt", "data/metagenomes.txt", "data/targets.txt",
+        str(out_dir), fused_cfg=FusedConfig(min_fraction=0.05),
+        err=io.StringIO(), stdout=io.StringIO(), **kw,
+    )
+
+
+def _artifact_payloads(all_paths):
+    out = []
+    for paths in all_paths:
+        for key in ("counts", "scrubbed", "hits"):
+            out.append(_read_gz(paths[key]))
+        with open(paths["coverage"], "rb") as f:
+            out.append(f.read())
+    return out
+
+
+def test_pipeline_multi_resume_scrub_crash(tmp_path, monkeypatch):
+    """pipeline-multi killed mid-panel during the shared union scan: the
+    resumed run completes and EVERY per-strain artifact (counts, scrubbed,
+    hits, coverage) is byte-identical to an uninterrupted run."""
+    from strainer2_tpu.pipeline import progress as prog
+
+    want = _artifact_payloads(_mini_multi_pipeline(tmp_path / "ref"))
+
+    class Boom(Exception):
+        pass
+
+    calls = {"n": 0}
+    orig_record = prog.ScrubCheckpoint.record
+
+    def crashing(self, column, path, counts):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Boom()
+        return orig_record(self, column, path, counts)
+
+    ck = tmp_path / "ckpt"
+    monkeypatch.setattr(prog.ScrubCheckpoint, "record", crashing)
+    with pytest.raises(Boom):
+        _mini_multi_pipeline(tmp_path / "crash", checkpoint_dir=str(ck))
+    monkeypatch.setattr(prog.ScrubCheckpoint, "record", orig_record)
+    assert (ck / "scrub" / "manifest.json").exists()
+
+    got = _artifact_payloads(
+        _mini_multi_pipeline(tmp_path / "resumed", checkpoint_dir=str(ck))
+    )
+    assert got == want
+
+
+def test_pipeline_multi_resume_detect_crash(tmp_path, monkeypatch):
+    """pipeline-multi killed after the first detection sample: the resumed
+    run replays the stored per-strain payloads for that sample (no
+    rescore) and all artifacts match an uninterrupted run."""
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    monkeypatch.setenv("STRAINER2_DETECT_THREADS", "1")
+    want = _artifact_payloads(_mini_multi_pipeline(tmp_path / "ref"))
+
+    class Boom(Exception):
+        pass
+
+    calls = {"n": 0}
+    orig = MultiStrainDetector._quantify_sample_native
+    orig_jit = MultiStrainDetector._quantify_sample
+
+    def crash_after_first(fn):
+        def wrapper(self, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise Boom()
+            return fn(self, *a, **kw)
+
+        return wrapper
+
+    ck = tmp_path / "ckpt"
+    monkeypatch.setattr(
+        MultiStrainDetector, "_quantify_sample_native", crash_after_first(orig)
+    )
+    monkeypatch.setattr(
+        MultiStrainDetector, "_quantify_sample", crash_after_first(orig_jit)
+    )
+    with pytest.raises(Boom):
+        _mini_multi_pipeline(tmp_path / "crash", checkpoint_dir=str(ck))
+    assert calls["n"] == 2
+
+    # resume: the completed first sample must not be rescored
+    first = "data/target_PE1.fasta.gz"
+    monkeypatch.setattr(
+        MultiStrainDetector, "_quantify_sample_native",
+        lambda self, nc, f1, *a, **kw: (_ for _ in ()).throw(
+            AssertionError(f"rescored {f1}")
+        ) if f1 == first else orig(self, nc, f1, *a, **kw),
+    )
+    monkeypatch.setattr(
+        MultiStrainDetector, "_quantify_sample",
+        lambda self, f1, *a, **kw: (_ for _ in ()).throw(
+            AssertionError(f"rescored {f1}")
+        ) if f1 == first else orig_jit(self, f1, *a, **kw),
+    )
+    got = _artifact_payloads(
+        _mini_multi_pipeline(tmp_path / "resumed", checkpoint_dir=str(ck))
+    )
+    assert got == want
+
+
+def test_pipeline_multi_detect_checkpoint_keyed_to_filter_config(tmp_path):
+    """A pipeline-multi detect checkpoint is keyed to the strains AND the
+    filter outcome: rerunning with a different min_fraction must NOT
+    replay the old payloads (different informative sets -> different
+    directory), and the rerun's artifacts equal a fresh run's."""
+    from strainer2_tpu.pipeline.fused import FusedConfig, run_multi_pipeline
+
+    def run(out_dir, m, ck=None):
+        return run_multi_pipeline(
+            ["data/strainA.fna.gz", "data/drug1.fna.gz"],
+            "data/genomes.txt", "data/metagenomes.txt", "data/targets.txt",
+            str(out_dir), fused_cfg=FusedConfig(min_fraction=m),
+            err=io.StringIO(), stdout=io.StringIO(),
+            checkpoint_dir=ck,
+        )
+
+    ck = str(tmp_path / "ckpt")
+    run(tmp_path / "a", 0.05, ck=ck)
+    dirs_before = {d for d in os.listdir(ck) if d.startswith("detect_")}
+    assert dirs_before
+
+    want = _artifact_payloads(run(tmp_path / "ref30", 0.30))
+    got = _artifact_payloads(run(tmp_path / "b", 0.30, ck=ck))
+    assert got == want
+    dirs_after = {d for d in os.listdir(ck) if d.startswith("detect_")}
+    assert dirs_after - dirs_before, "different filter config must re-key"
