@@ -345,8 +345,8 @@ class MultiStrainDetector:
         # instead of an opaque device OOM (the count cap alone cannot
         # bound memory — see the note at MAX_STRAINS_PER_PASS)
         budget = device_mem_budget()
+        shards = self.cfg.mesh[1] if self.cfg.mesh else 1
         if budget is not None:
-            shards = self.cfg.mesh[1] if self.cfg.mesh else 1
             needed = projected_rows_bytes(union.shape[0], len(strains))
             if needed > budget * shards:
                 raise RuntimeError(
@@ -363,6 +363,25 @@ class MultiStrainDetector:
         self.table = build_bucket_table(
             union, k, row_width=32 + 16 * self._n_words
         )
+        if budget is not None:
+            # re-check the BUILT table: build_bucket_table grows h_bits when
+            # a bucket overflows (index/bucket.py "pathological key set"),
+            # so a key set that trips the growth path can exceed the
+            # pre-build projection — fail loudly here rather than OOM later
+            actual = self.table.table.nbytes
+            if actual > budget * shards:
+                raise RuntimeError(
+                    f"multi-strain union row table BUILT to "
+                    f"{actual / 2**30:.2f} GiB "
+                    f"(2**{self.table.h_bits} buckets x "
+                    f"{self.table.table.shape[1]} lanes; the build grew the "
+                    "bucket space beyond the pre-build projection for this "
+                    "key distribution) but the device memory budget is "
+                    f"{budget / 2**30:.2f} GiB"
+                    + (f" x {shards} index shards" if shards > 1 else "")
+                    + "; run fewer strains per pass, shard the index over a "
+                    f"larger mesh (--mesh DxI), or raise {DEVICE_MEM_BUDGET_ENV}"
+                )
 
         if background_list:
             # shared background counting: ONE panel scan over the union,
@@ -619,6 +638,23 @@ class MultiStrainDetector:
 
         pidx, pcount = jax.process_index(), jax.process_count()
         if pcount > 1 and self.cfg.mesh is not None:
+            # Why refused (the current largest-scale boundary): this
+            # framework's multi-process mode partitions WORK (samples /
+            # panel files) per rank — each rank runs its own independent
+            # device program, so ranks execute different program counts and
+            # cannot share one SPMD mesh (divergent collectives deadlock).
+            # An over-HBM union that also needs multiple HOSTS would require
+            # the opposite decomposition: one global mesh over all hosts'
+            # devices with every rank feeding identical batches
+            # (sample-partitioning disabled).  Until that path exists, the
+            # routable deployments are (a) one process + --mesh DxI sharding
+            # the union over one host's devices (executes over-budget
+            # unions: tests/test_multi_detect.py
+            # test_over_budget_union_executes_sharded_to_identical_output),
+            # or (b) multi-process sample partitioning with per-device-
+            # budget pass sizing (plan_strain_passes).  README "Multi-strain
+            # scaling" records this boundary.  Reference analogue: the one
+            # in-process table, /root/reference/src/strain_detect.c:137-139.
             print(
                 "mesh sharding and multi-process sample partitioning cannot "
                 "combine: run either one process with a device mesh, or one "

@@ -502,3 +502,72 @@ def test_multi_strain_wide_with_background_matches_single_runs(tmp_path):
     for i, p in enumerate(outs):
         with gzip.open(p, "rb") as f:
             assert f.read() == singles[i], f"strain {i} differs"
+
+
+def test_over_budget_union_executes_sharded_to_identical_output(tmp_path, monkeypatch):
+    """The over-budget error's own advice must WORK: a union that exceeds
+    the per-device budget on one device runs under --mesh DxI (the budget
+    multiplies by index shards) and produces byte-identical outputs to an
+    unbudgeted single-device pass."""
+    from strainer2_tpu.pipeline.detect import DetectConfig
+    from strainer2_tpu.pipeline.multi_detect import (
+        MultiStrainDetector,
+        projected_rows_bytes,
+    )
+
+    strains = [
+        ("data/strainA.fna.gz", "expected/scrubbed_m05.txt"),
+        ("data/panel1.fna.gz", _informative_subset(tmp_path, "data/panel1.fna.gz")),
+    ]
+    # unbudgeted single-device baseline (also yields the union size)
+    det = MultiStrainDetector(strains)
+    outs = [str(tmp_path / f"plain_{i}.gz") for i in range(len(strains))]
+    det.quantify_all(outs, "data/targets.txt")
+    base = []
+    for p in outs:
+        with gzip.open(p, "rb") as f:
+            base.append(f.read())
+    needed = projected_rows_bytes(det._union_codes.shape[0], len(strains))
+
+    # a synthetic budget the single-device pass cannot satisfy...
+    monkeypatch.setenv("STRAINER2_DEVICE_MEM_BUDGET", str(needed - 1))
+    with pytest.raises(RuntimeError, match="STRAINER2_DEVICE_MEM_BUDGET"):
+        MultiStrainDetector(strains)
+
+    # ...executes under an index-sharded mesh (budget x 4 shards covers it)
+    det_m = MultiStrainDetector(strains, cfg=DetectConfig(mesh=(2, 4)))
+    assert det_m._sharded is not None
+    outs_m = [str(tmp_path / f"mesh_{i}.gz") for i in range(len(strains))]
+    det_m.quantify_all(outs_m, "data/targets.txt")
+    for i, p in enumerate(outs_m):
+        with gzip.open(p, "rb") as f:
+            assert f.read() == base[i], f"strain {i} differs under mesh"
+
+
+def test_post_build_budget_recheck_catches_grown_table(tmp_path, monkeypatch):
+    """build_bucket_table grows h_bits on bucket overflow, so the BUILT
+    table can exceed the pre-build projection; the detector must re-check
+    actual bytes and fail loudly instead of OOMing later."""
+    import numpy as np
+
+    from strainer2_tpu.index.bucket import build_bucket_table
+    from strainer2_tpu.pipeline import multi_detect as md
+
+    strains = [("data/strainA.fna.gz", "expected/scrubbed_m05.txt")]
+
+    def grown(codes, k, h_bits=None, row_width=64):
+        n = np.asarray(codes).shape[0]
+        default = max(4, int(np.ceil(np.log2(max(n, 1) / 3.3))))
+        return build_bucket_table(codes, k, h_bits=default + 2, row_width=row_width)
+
+    monkeypatch.setattr(md, "build_bucket_table", grown)
+    # budget sized to the PROJECTION: the pre-build check passes, the
+    # post-build check must catch the 4x-grown table
+    from strainer2_tpu.index.build import StrainIndex
+    from strainer2_tpu.pipeline.engine import KmerEngine
+
+    idx = StrainIndex.from_fasta("data/strainA.fna.gz", KmerEngine(31), 256, 256)
+    needed = md.projected_rows_bytes(idx.num_kmers, 1)
+    monkeypatch.setenv("STRAINER2_DEVICE_MEM_BUDGET", str(needed))
+    with pytest.raises(RuntimeError, match="BUILT"):
+        md.MultiStrainDetector(strains)
