@@ -66,15 +66,20 @@ class ByteSource {
     return buf_[pos_++];
   }
   // Append bytes until newline (newline consumed, not appended).
-  // Returns false on EOF with nothing read.
-  bool read_line(std::string* out) {
+  // Returns false on EOF with nothing read; *had_nl reports whether the
+  // line was newline-terminated (kseq's truncation semantics need it).
+  bool read_line(std::string* out, bool* had_nl = nullptr) {
     out->clear();
     int c = next();
-    if (c < 0) return false;
+    if (c < 0) {
+      if (had_nl) *had_nl = false;
+      return false;
+    }
     while (c >= 0 && c != '\n') {
       if (c != '\r') out->push_back(static_cast<char>(c));
       c = next();
     }
+    if (had_nl) *had_nl = (c == '\n');
     return true;
   }
 
@@ -94,85 +99,88 @@ class ByteSource {
 };
 
 // Streaming FASTA/FASTQ record reader: yields encoded sequences.
+// Faithful to kseq_read (/root/reference/src/kseq.h:171-211), which every
+// reference binary loops with `while (kseq_read(...) >= 0)`:
+//   - record start scans BYTES (not lines) to the next '>'/'@' marker, so
+//     leading or inter-record garbage is skipped silently;
+//   - a FASTA record (or a FASTQ record truncated before its '+') cut off
+//     by EOF is yielded as-is;
+//   - a FASTQ record with a truncated or length-mismatched quality string
+//     is DROPPED and parsing stops (kseq returns -2, ending the caller's
+//     loop) — pinned against the reference binary in
+//     tests/test_edge_cases.py;
+//   - mixed FASTA/FASTQ files parse per record.
 class FastxReader {
  public:
   // raw=true yields uppercased ASCII bytes instead of 2-bit codes (the
   // arbitrary-k string engine needs letter identity for IUPAC parity).
   explicit FastxReader(const char* path, bool raw = false)
-      : src_(new ByteSource(path)), raw_(raw) {
-    format_ = 0;
-    int c = src_->peek();
-    if (c == '>') format_ = 1;
-    else if (c == '@') format_ = 2;
-    else if (c >= 0) format_ = -1;  // unknown
-  }
-  bool ok() const { return src_->ok() && format_ >= 0; }
-  bool eof_clean() const { return format_ == 0; }
+      : src_(new ByteSource(path)), raw_(raw) {}
+  bool ok() const { return src_->ok(); }
 
-  // Returns false at EOF. Encoded bases appended to *seq (cleared first).
+  // Returns false at EOF (or after a kseq -2 stop). Encoded bases are
+  // appended to *seq (cleared first).
   bool next(std::vector<uint8_t>* seq) {
     seq->clear();
-    if (format_ == 1) return next_fasta(seq);
-    if (format_ == 2) return next_fastq(seq);
-    return false;
-  }
-
- private:
-  bool next_fasta(std::vector<uint8_t>* seq) {
+    if (stopped_) return false;
     std::string line;
-    if (!pending_header_) {
-      // scan to the first '>' header
+    bool had_nl = true;
+    // ---- record start: byte-scan to the next '>'/'@' marker ----
+    if (!have_pending_) {
       while (true) {
-        if (!src_->read_line(&line)) return false;
-        if (!line.empty() && line[0] == '>') break;
+        if (!src_->read_line(&line, &had_nl)) return false;
+        size_t p = line.find_first_of(">@");
+        if (p != std::string::npos) {
+          // marker as the very last byte of the file: kseq's name read
+          // hits EOF and returns -1 — no record
+          if (!had_nl && p + 1 == line.size()) return false;
+          break;
+        }
       }
-      pending_header_ = true;
     }
-    // read sequence lines until next header or EOF
-    while (true) {
-      int c = src_->peek();
-      if (c < 0) {
-        pending_header_ = false;
-        return true;
-      }
-      if (c == '>') {
-        src_->read_line(&line);  // consume header for the next call
-        return true;
-      }
-      src_->read_line(&line);
-      append_line(line, seq);
-    }
-  }
-
-  bool next_fastq(std::vector<uint8_t>* seq) {
-    std::string line;
-    // header
-    while (true) {
-      if (!src_->read_line(&line)) return false;
-      if (!line.empty() && line[0] == '@') break;
-    }
-    // sequence lines until '+'
+    have_pending_ = false;
+    // ---- sequence lines until '>', '@', '+' or EOF ----
+    bool qual = false;
     size_t seq_len = 0;
     while (true) {
       int c = src_->peek();
-      if (c < 0) return !seq->empty();
-      if (c == '+') {
-        src_->read_line(&line);
+      if (c < 0) break;
+      if (c == '>' || c == '@') {
+        src_->read_line(&line, &had_nl);
+        // a bare marker at EOF drops the NEXT record (kseq name read -1)
+        if (had_nl || line.size() > 1) have_pending_ = true;
         break;
       }
-      src_->read_line(&line);
+      src_->read_line(&line, &had_nl);
+      if (c == '+') {
+        if (!had_nl) {  // EOF inside the '+' line: kseq -2, drop + stop
+          stopped_ = true;
+          return false;
+        }
+        qual = true;
+        break;
+      }
       append_line(line, seq);
       seq_len += line.size();
     }
-    // quality: consume bytes until length matches
+    if (!qual) return true;  // FASTA — or a FASTQ truncated before '+'
+    // ---- quality: whole lines until the length reaches seq_len ----
     size_t qlen = 0;
     while (qlen < seq_len) {
-      if (!src_->read_line(&line)) break;
+      if (!src_->read_line(&line, &had_nl)) {
+        stopped_ = true;  // kseq -2: truncated quality drops + stops
+        return false;
+      }
       qlen += line.size();
+    }
+    if (qlen != seq_len) {
+      stopped_ = true;  // kseq -2: overlong quality drops + stops
+      return false;
     }
     return true;
   }
 
+ private:
   void append_line(const std::string& line, std::vector<uint8_t>* seq) {
     if (raw_) {
       for (char ch : line) {
@@ -185,9 +193,9 @@ class FastxReader {
   }
 
   std::unique_ptr<ByteSource> src_;
-  int format_;
   bool raw_ = false;
-  bool pending_header_ = false;
+  bool have_pending_ = false;
+  bool stopped_ = false;
 };
 
 // ---------------------------------------------------------------------------

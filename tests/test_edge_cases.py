@@ -185,3 +185,196 @@ def test_genome_compare_unreadable_errors_match_reference(tmp_path, capsys):
     assert capsys.readouterr().err.endswith(
         "could not read file /nonexistent_q.fa in GEN_calculate_coverage()\n"
     )
+
+
+# ---- corrupt / hostile inputs (round 5) -------------------------------------
+# Reference behavior established empirically against the built reference
+# binaries (docs/PARITY.md "Round 5": truncated gzip and garbage bytes are
+# tolerated silently — kseq just stops / skips to the next record marker,
+# /root/reference/src/kseq.h:171-211; IUPAC letters are ordinary non-N
+# characters that count in the evaluated totals and simply miss the index).
+# These tests pin OUR two reader/engine paths to that behavior and to each
+# other.
+
+
+def _python_reader_codes(monkeypatch, path, k=31):
+    """scan_file_codes with the native fast path disabled — the pure
+    Python/NumPy reader."""
+    from strainer2_tpu import native
+    from strainer2_tpu.index.build import scan_file_codes
+    from strainer2_tpu.pipeline.engine import KmerEngine
+
+    monkeypatch.setattr(native, "scan_file_codes_native", lambda *a, **kw: None)
+    try:
+        return scan_file_codes(path, KmerEngine(k))
+    finally:
+        monkeypatch.undo()
+
+
+def test_truncated_gzip_mid_record_both_readers(tmp_path, monkeypatch):
+    """A gzip stream cut mid-record parses to the decodable prefix and
+    stops silently (reference kseq behavior, verified empirically at toy
+    scale: byte-identical scrub tables, exit 0).  Native and Python
+    readers must agree with each other."""
+    import gzip as _gzip
+
+    from strainer2_tpu.index.build import scan_file_codes
+    from strainer2_tpu.pipeline.engine import KmerEngine
+
+    rng = np.random.default_rng(5)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = [
+        alpha[rng.integers(0, 4, size=100)].tobytes().decode() for _ in range(50)
+    ]
+    text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)).encode()
+    blob = _gzip.compress(text)
+    trunc = tmp_path / "trunc.fa.gz"
+    trunc.write_bytes(blob[: len(blob) // 2])
+
+    native_codes = scan_file_codes(str(trunc), KmerEngine(31))
+    assert 0 < native_codes.size < 50 * 70, "expected a proper prefix"
+    python_codes = _python_reader_codes(monkeypatch, str(trunc))
+    np.testing.assert_array_equal(native_codes, python_codes)
+
+
+def test_garbage_between_fastq_records_both_readers(tmp_path, monkeypatch):
+    """Binary garbage between records is skipped to the next '@'/'>'
+    marker (kseq record-start scan); both reads around it parse.  Pinned
+    byte-identical to the reference binary at probe time (exit 0,
+    total_reads_evaluated 2)."""
+    from strainer2_tpu.index.build import scan_file_codes
+    from strainer2_tpu.pipeline.engine import KmerEngine
+    from tests.oracle import canonical_codes_of_seq
+
+    f = tmp_path / "garbage.fastq"
+    r1 = "ACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+    r2 = "TTGCACGTACGTACGTACGTACGTACGTACGTACGTACGA"
+    f.write_bytes(
+        (f"@r1\n{r1}\n+\n" + "I" * len(r1) + "\n").encode()
+        + b"\x00\xff\x13garbage~~~\n"
+        + (f"@r2\n{r2}\n+\n" + "I" * len(r2) + "\n").encode()
+    )
+    want = np.array(
+        [c for v, c in canonical_codes_of_seq(r1, 31) if v]
+        + [c for v, c in canonical_codes_of_seq(r2, 31) if v],
+        dtype=np.uint64,
+    )
+    got_native = scan_file_codes(str(f), KmerEngine(31))
+    np.testing.assert_array_equal(got_native, want)
+    got_python = _python_reader_codes(monkeypatch, str(f))
+    np.testing.assert_array_equal(got_python, want)
+
+
+def test_iupac_letters_in_detect_targets(tmp_path, monkeypatch):
+    """IUPAC letters (R/Y/S/W/K/M/B/D/H/V) in target reads are ordinary
+    non-N characters to the reference: their windows COUNT in
+    total_kmer_evaluated and simply never match the index.  Verified
+    byte-identical against the reference binary at probe time; here both
+    engine paths must agree and reproduce the exact totals."""
+    from strainer2_tpu.pipeline.detect import run_detect
+
+    f = tmp_path / "iupac.fasta"
+    # r1: 46 chars -> 16 windows (IUPAC + lowercase); r2: 40 chars with
+    # N-flanks -> 10 windows.  Totals count windows regardless of N/IUPAC.
+    f.write_text(
+        ">r1\nACGTRYSWKMBDHVacgtACGTACGTACGTACGTACGTACGTACGT\n"
+        ">r2\nNNNNACGTACGTACGTACGTACGTACGTACGTACGTNNNN\n"
+    )
+    batch = tmp_path / "targets.txt"
+    batch.write_text(f"SE\t{f}\n")
+
+    payloads = []
+    for native in ("1", "0"):
+        monkeypatch.setenv("STRAINER2_NATIVE_COUNT", native)
+        hits = str(tmp_path / f"h_{native}.gz")
+        run_detect(
+            "data/strainA.fna.gz", "expected/scrubbed_m05.txt", hits,
+            batch_list=str(batch), stdout=io.StringIO(),
+        )
+        with gzip.open(hits, "rt") as fh:
+            payloads.append(fh.read())
+    assert payloads[0] == payloads[1]
+    lines = payloads[0].splitlines()
+    assert lines[0].endswith("total_kmer_evaluated\t26")
+    assert lines[1].endswith("total_reads_evaluated\t2")
+
+
+def test_multimember_gzip_genome_both_readers(tmp_path, monkeypatch):
+    """A genome split across two gzip members (cat of .gz parts) reads
+    identically to the single-member file on both reader paths (zlib and
+    Python gzip both decode concatenated members transparently; verified
+    byte-identical through the reference binary at probe time)."""
+    import gzip as _gzip
+
+    from strainer2_tpu.index.build import scan_file_codes
+    from strainer2_tpu.pipeline.engine import KmerEngine
+
+    with _gzip.open("data/strainA.fna.gz", "rb") as fh:
+        text = fh.read()
+    half = len(text) // 2
+    mm = tmp_path / "mm.fna.gz"
+    mm.write_bytes(_gzip.compress(text[:half]) + _gzip.compress(text[half:]))
+
+    want = scan_file_codes("data/strainA.fna.gz", KmerEngine(31))
+    got_native = scan_file_codes(str(mm), KmerEngine(31))
+    np.testing.assert_array_equal(got_native, want)
+    got_python = _python_reader_codes(monkeypatch, str(mm))
+    np.testing.assert_array_equal(got_python, want)
+
+
+def test_truncated_fastq_quality_drops_record_and_stops(tmp_path, monkeypatch):
+    """kseq returns -2 on a truncated or length-mismatched quality string,
+    which ends every reference caller's `while (kseq_read >= 0)` loop: the
+    partial record AND everything after it are dropped.  A FASTQ truncated
+    BEFORE its '+' line is instead yielded as-is (kseq returns the partial
+    sequence).  Both pinned byte-identical against the reference binary at
+    probe time (docs/PARITY.md round 5); both readers must agree."""
+    from strainer2_tpu.index.build import scan_file_codes
+    from strainer2_tpu.pipeline.engine import KmerEngine
+    from tests.oracle import canonical_codes_of_seq
+
+    r1 = "ACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+    r2 = "TTTTACGTACGTACGTACGTACGTACGTACGTTTTT"
+    good = f"@r1\n{r1}\n+\n" + "I" * len(r1) + "\n"
+    want_r1 = np.array(
+        [c for v, c in canonical_codes_of_seq(r1, 31) if v], dtype=np.uint64
+    )
+    want_both = np.array(
+        [c for v, c in canonical_codes_of_seq(r1, 31) if v]
+        + [c for v, c in canonical_codes_of_seq(r2, 31) if v],
+        dtype=np.uint64,
+    )
+
+    midqual = tmp_path / "midqual.fastq"
+    midqual.write_text(good + f"@r2\n{r2}\n+\nIIIII")  # quality cut short
+    midseq = tmp_path / "midseq.fastq"
+    midseq.write_text(good + f"@r2\n{r2}")  # no '+' reached
+
+    for path, want in ((midqual, want_r1), (midseq, want_both)):
+        got_native = scan_file_codes(str(path), KmerEngine(31))
+        np.testing.assert_array_equal(got_native, want, err_msg=str(path))
+        got_python = _python_reader_codes(monkeypatch, str(path))
+        np.testing.assert_array_equal(got_python, want, err_msg=str(path))
+
+
+def test_leading_garbage_skipped_to_first_marker(tmp_path, monkeypatch):
+    """kseq's record-start scan skips BYTES until the first '>'/'@' — a
+    file with leading junk still parses its records; a file with no marker
+    at all yields zero records, silently."""
+    from strainer2_tpu.index.build import scan_file_codes
+    from strainer2_tpu.pipeline.engine import KmerEngine
+    from tests.oracle import canonical_codes_of_seq
+
+    r1 = "ACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+    lead = tmp_path / "lead.fa"
+    lead.write_bytes(b"\x00junk junk\n~~\n" + f">r1\n{r1}\n".encode())
+    want = np.array(
+        [c for v, c in canonical_codes_of_seq(r1, 31) if v], dtype=np.uint64
+    )
+    np.testing.assert_array_equal(scan_file_codes(str(lead), KmerEngine(31)), want)
+    np.testing.assert_array_equal(_python_reader_codes(monkeypatch, str(lead)), want)
+
+    nomarker = tmp_path / "nomarker.txt"
+    nomarker.write_bytes(b"no markers here\nat all\n")
+    assert scan_file_codes(str(nomarker), KmerEngine(31)).size == 0
+    assert _python_reader_codes(monkeypatch, str(nomarker)).size == 0
