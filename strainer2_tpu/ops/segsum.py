@@ -38,7 +38,16 @@ import os
 
 __all__ = ["boundary_strain_sums", "DEFAULT_CHUNK"]
 
-DEFAULT_CHUNK = 256
+# Chunk length of the two-level prefix.  The boundary-correction term costs
+# ~(R+1) x chunk per meta word while the chunk-sum cumsum costs Q / chunk, so
+# the optimum shrinks as the read capacity R grows.  Measured on v5e at the
+# production detection shape (Q = 1.04M windows, R+1 = 33,025 boundaries —
+# tools/bench_boundary_shapes.py, 2026-08-21): 128 beats 256 at every strain
+# width (S=256: 36.4 vs 27.6 M windows/s, +32%; S=32: 120 vs 97 M) and ties
+# or wins at R+1 = 513 and 8,449 too, so 128 is the flat default.  Results
+# are bit-identical for ANY chunk (exact integer prefix algebra, pinned by
+# tests/test_segsum.py across chunk sizes).
+DEFAULT_CHUNK = 128
 
 # Body selector, captured ONCE at import: jit caches the traced body, so a
 # mid-process env flip would otherwise leave a warm cache on the old path and
