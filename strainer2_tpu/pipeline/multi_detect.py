@@ -427,6 +427,17 @@ class MultiStrainDetector:
             ),
             static_argnames=("h_bits", "salt"),
         )
+        self._passing_any = jax.jit(
+            partial(
+                _passing_any_pairs,
+                min_t=self.cfg.min_hits_for_good_match,
+                min_i=self.cfg.min_hits_for_informative_read,
+            ),
+            static_argnames=("paired",),
+        )
+        self._gather_passing = jax.jit(
+            _gather_passing_rows, static_argnames=("paired",)
+        )
         self._sharded = None
         if self.cfg.mesh is not None:
             # EP x (data, index) mesh: the union table (and its packed
@@ -776,6 +787,10 @@ class MultiStrainDetector:
             n = batch.n_reads
             boundaries = np.full(self.max_reads + 1, n_windows, dtype=np.int32)
             boundaries[:n] = batch.window_starts
+            # `sel` maps the rows of t1/i1/t2/i2 back to pair ordinals
+            # (None = one row per pair, the full-matrix route)
+            sel = None
+            skip_batch = False
             if self._sharded is not None:
                 bases = batch.bases
                 pad = (-bases.shape[0]) % self._sharded.n_data
@@ -793,34 +808,71 @@ class MultiStrainDetector:
                     self._rows_dev, batch.bases, boundaries,
                     h_bits=t.h_bits, salt=t.salt,
                 )
-                tot = np.asarray(tot_d)[:n]  # (n, S)
-                inf = np.asarray(inf_d)[:n]
+                # D2H gate: the (max_reads, S) tot/inf matrices are
+                # megabytes per batch, and over a remote-attached
+                # transport their readback dominates the whole detection
+                # wall (docs/PERFORMANCE.md "detect-multi CLI wall-clock
+                # at 20x").  Instead: read back a (pairs,) any-strain-
+                # passes bool (KB; exact host threshold rule, on device),
+                # then gather ONLY the passing pairs' rows — a batch with
+                # no passing pair transfers nothing at all, and a hit-
+                # dense batch transfers (n_pass_padded, S) x 4 instead of
+                # the full matrices.  Byte-identical by construction: the
+                # emission block sees the same integers either way.
+                any_d = self._passing_any(tot_d, inf_d, paired=paired)
+                n_pairs = (n - (n % 2)) // 2 if paired else n
+                anyp = np.asarray(any_d)[:n_pairs]
+                sel = np.flatnonzero(anyp)
+                if sel.size == 0:
+                    skip_batch = True
+                else:
+                    import jax.numpy as jnp
+
+                    # pad to a power-of-two bucket: a handful of compiled
+                    # gather shapes covers every batch
+                    cap = 1 << max(6, int(np.ceil(np.log2(sel.size))))
+                    idx = np.full(cap, -1, dtype=np.int32)
+                    idx[: sel.size] = sel
+                    t1_d, i1_d, t2_d, i2_d = self._gather_passing(
+                        tot_d, inf_d, jnp.asarray(idx), paired=paired
+                    )
+                    t1 = np.asarray(t1_d)[: sel.size]
+                    i1 = np.asarray(i1_d)[: sel.size]
+                    t2 = np.asarray(t2_d)[: sel.size]
+                    i2 = np.asarray(i2_d)[: sel.size]
             lens = batch.read_lengths
             wins = np.maximum(lens - k + 1, 0) * (lens >= k)
             total_kmers_evaluated += int(wins.sum())
             if paired:
                 pe1 = np.arange(0, n - (n % 2), 2)
                 total_reads_evaluated += int(np.count_nonzero(lens[pe1] >= k))
-                t1, i1 = tot[pe1], inf[pe1]
-                t2, i2 = tot[pe1 + 1], inf[pe1 + 1]
             else:
                 total_reads_evaluated += int(np.count_nonzero(lens >= k))
                 pe1 = np.arange(n)
-                t1, i1 = tot, inf
-                t2 = np.zeros_like(t1)
-                i2 = np.zeros_like(i1)
+            if skip_batch:
+                continue  # device-checked: no pair passes in this batch
+            if sel is None:  # full-matrix route (sharded mesh)
+                if paired:
+                    t1, i1 = tot[pe1], inf[pe1]
+                    t2, i2 = tot[pe1 + 1], inf[pe1 + 1]
+                else:
+                    t1, i1 = tot, inf
+                    t2 = np.zeros_like(t1)
+                    i2 = np.zeros_like(i1)
+                sel = np.arange(t1.shape[0])
 
             passing = ((t1 + t2) >= cfg.min_hits_for_good_match) & (
                 (i1 + i2) >= cfg.min_hits_for_informative_read
-            )  # (pairs, S)
+            )  # (rows, S); rows map to pair ordinals via sel
             if passing.any():
                 grouping = batch_read_grouping(batch)
                 pair_idx, strain_idx = np.nonzero(passing)
                 # emit in (strain-major within a pair? reference runs strains
                 # independently, so each strain's file sees its own pairs in
-                # stream order) -> iterate pairs outer to preserve order per file
+                # stream order) -> iterate pairs outer to preserve order per
+                # file (sel is ascending, so compacted rows keep pair order)
                 for j in np.unique(pair_idx):
-                    r1 = int(pe1[j])
+                    r1 = int(pe1[sel[j]])
                     reads = [read_codes_from_batch(batch, r1, k, grouping)]
                     if paired:
                         reads.append(read_codes_from_batch(batch, r1 + 1, k, grouping))
@@ -872,6 +924,39 @@ def _expand_strain_bits(m, n, jnp):
     present = ((m[:, None] >> shifts[None, :]) & 1).astype(jnp.int32)
     informative = ((m[:, None] >> (shifts[None, :] + 1)) & 1).astype(jnp.int32)
     return present, informative
+
+
+def _passing_any_pairs(tot, inf, *, paired, min_t, min_i):
+    """(max_reads, S) per-read tot/inf -> (pairs,) bool: does ANY strain
+    pass the reference's two-threshold rule for this read pair (reference
+    src/strain_detect.c:403,406,547)?  Mirrors the host rule exactly;
+    rows past n_reads are zero so padded pairs cannot pass (with the
+    default thresholds >= 1).  Stays on device: the caller reads back
+    these few KB instead of the megabyte matrices when nothing passes."""
+    import jax.numpy as jnp
+
+    if paired:
+        t1, i1 = tot[0::2, :], inf[0::2, :]
+        t2, i2 = tot[1::2, :], inf[1::2, :]
+        passing = ((t1 + t2) >= min_t) & ((i1 + i2) >= min_i)
+    else:
+        passing = (tot >= min_t) & (inf >= min_i)
+    return jnp.any(passing, axis=1)
+
+
+def _gather_passing_rows(tot, inf, idx, *, paired):
+    """Compact fetch for the D2H gate: gather only the PASSING pairs'
+    (t1, i1, t2, i2) rows (idx = pair ordinals, -1-padded to a static
+    bucket size so a handful of compiled shapes covers every batch).
+    Readback shrinks from the full (max_reads, S) matrices to
+    (n_pass_padded, S) x 4 — the emission block needs nothing else."""
+    import jax.numpy as jnp
+
+    ii = jnp.maximum(idx, 0)
+    if paired:
+        return tot[2 * ii], inf[2 * ii], tot[2 * ii + 1], inf[2 * ii + 1]
+    zero = jnp.zeros((idx.shape[0], tot.shape[1]), dtype=tot.dtype)
+    return tot[ii], inf[ii], zero, zero
 
 
 def _classify_multi(rows, bases, boundaries, *, k, h_bits, salt, max_reads, n_strains):
