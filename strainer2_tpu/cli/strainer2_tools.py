@@ -149,8 +149,7 @@ def main(argv: list[str] | None = None) -> int:
         from strainer2_tpu.pipeline.fused import _stem
         from strainer2_tpu.pipeline.multi_detect import (
             MultiStrainDetector,
-            estimate_genome_kmers,
-            plan_strain_passes,
+            plan_strain_passes_from_codes,
         )
 
         strains = []
@@ -168,11 +167,17 @@ def main(argv: list[str] | None = None) -> int:
             d, i = args.mesh.lower().split("x")
             cfg = DetectConfig(mesh=(int(d), int(i)))
             n_index = int(i)
-        # passes sized by strain count AND projected union row-table
-        # bytes (indexes aren't built yet, so plan from uncompressed
-        # genome sizes — an upper bound on distinct k-mers)
-        passes = plan_strain_passes(
-            [estimate_genome_kmers(r) for r, _ in strains],
+        # passes sized by strain count AND the EXACT union row-table
+        # bytes: each genome is scanned once for its canonical codes
+        # (seconds per genome — noise against the full target scan every
+        # avoided pass saves; related strains share most k-mers, so the
+        # old sum-of-sizes bound split work that fits one pass)
+        from strainer2_tpu.index.build import scan_file_codes
+        from strainer2_tpu.pipeline.engine import KmerEngine
+
+        eng = KmerEngine(31)
+        passes = plan_strain_passes_from_codes(
+            [lambda r=r: scan_file_codes(r, eng) for r, _ in strains],
             index_shards=n_index,
         )
         for start, end in passes:

@@ -463,7 +463,7 @@ def run_multi_pipeline(
     # passes sized by strain count AND projected union row-table bytes
     # against the device budget (multi_detect.plan_strain_passes; exact
     # per-strain index sizes are known here)
-    from strainer2_tpu.pipeline.multi_detect import plan_strain_passes
+    from strainer2_tpu.pipeline.multi_detect import plan_strain_passes_from_codes
 
     def _detect_ckpt_dir(start: int, chunk) -> str | None:
         """Per-pass detect checkpoint directory.  The identity hash covers
@@ -489,7 +489,13 @@ def run_multi_pipeline(
             checkpoint_dir, f"detect_{start}_{h.hexdigest()[:16]}"
         )
 
-    for start, end in plan_strain_passes([idx.num_kmers for _, idx, _ in prebuilt]):
+    # exact union-based pass sizing: the indexes are in memory, so passes
+    # cut on the REAL union size — related strains (the common case) share
+    # most k-mers and ride one pass where the conservative sum-bound
+    # (plan_strain_passes) would split them and re-scan the targets
+    for start, end in plan_strain_passes_from_codes(
+        [idx.codes for _, idx, _ in prebuilt]
+    ):
         chunk = prebuilt[start:end]
         with stage("fused.multi_detect"):
             det = MultiStrainDetector(

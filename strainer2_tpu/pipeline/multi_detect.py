@@ -42,6 +42,7 @@ __all__ = [
     "MultiStrainDetector",
     "MAX_STRAINS_PER_PASS",
     "plan_strain_passes",
+    "plan_strain_passes_from_codes",
     "projected_rows_bytes",
     "device_mem_budget",
     "estimate_genome_kmers",
@@ -185,6 +186,54 @@ def _gzip_total_uncompressed(path: str) -> int | None:
     if not d.eof:
         return None  # truncated final member: trailer is untrustworthy too
     return total
+
+
+def plan_strain_passes_from_codes(codes_list, *, max_strains=MAX_STRAINS_PER_PASS,
+                                  budget=_UNSET, index_shards: int = 1):
+    """Exact pass planning from per-strain canonical-code arrays.
+
+    plan_strain_passes bounds a pass's union by the SUM of its strains'
+    k-mer counts — safe, but wildly conservative for the common case of
+    RELATED strains (conspecific variants share most k-mers: 32 strains
+    at 0.2% divergence union to ~1.1x one genome, not 32x), so it splits
+    work that would fit one pass and every extra pass re-scans the
+    targets.  When the per-strain code arrays are available (the fused
+    pipeline has them; the detect-multi CLI scans genomes first — seconds
+    per genome, amortized against the target scan each avoided pass
+    saves), the union can be sized EXACTLY: merge codes strain by strain
+    and cut the pass when the projected row-table bytes exceed the
+    budget.  Same return shape as plan_strain_passes.
+
+    codes_list entries may be arrays or zero-arg callables returning
+    arrays (lazy scanning: only the running union and one genome's codes
+    stay in memory; the genome at a pass boundary is fetched twice —
+    one extra scan per pass, noise against the target scan it saves)."""
+    if budget is _UNSET:
+        budget = device_mem_budget()
+    if budget is not None:
+        budget = int(budget) * max(1, int(index_shards))
+
+    def get(i):
+        c = codes_list[i]
+        return np.asarray(c() if callable(c) else c, dtype=np.uint64)
+
+    passes = []
+    start = 0
+    n = len(codes_list)
+    while start < n:
+        union = np.unique(get(start))
+        end = start + 1
+        while end < n and end - start < max_strains:
+            cand = np.union1d(union, get(end))
+            if budget is not None and projected_rows_bytes(
+                cand.shape[0], end - start + 1
+            ) > budget:
+                break
+            union = cand
+            end += 1
+        passes.append((start, end))
+        start = end
+    return passes
 
 
 def estimate_genome_kmers(path: str) -> int:

@@ -175,12 +175,12 @@ def test_budget_forced_split_passes_stay_byte_identical(tmp_path, monkeypatch):
     # fits alone, but the 3-strain union cannot ride one pass
     from strainer2_tpu.index.build import scan_file_codes
     from strainer2_tpu.pipeline.engine import KmerEngine
-    from strainer2_tpu.pipeline.multi_detect import plan_strain_passes
+    from strainer2_tpu.pipeline.multi_detect import plan_strain_passes_from_codes
 
     eng = KmerEngine(31)
-    counts = [np.unique(scan_file_codes(r, eng)).size for r in r_files]
-    budget = max(projected_rows_bytes(n, 1) for n in counts)
-    assert len(plan_strain_passes(counts, budget=budget)) > 1, (
+    codes = [np.unique(scan_file_codes(r, eng)) for r in r_files]
+    budget = max(projected_rows_bytes(c.size, 1) for c in codes)
+    assert len(plan_strain_passes_from_codes(codes, budget=budget)) > 1, (
         "budget must force a multi-pass plan for this test to mean anything"
     )
     monkeypatch.setenv("STRAINER2_DEVICE_MEM_BUDGET", str(budget))
@@ -571,3 +571,52 @@ def test_post_build_budget_recheck_catches_grown_table(tmp_path, monkeypatch):
     monkeypatch.setenv("STRAINER2_DEVICE_MEM_BUDGET", str(needed))
     with pytest.raises(RuntimeError, match="BUILT"):
         md.MultiStrainDetector(strains)
+
+
+def test_plan_from_codes_exact_union_beats_sum_bound():
+    """Exact union planning keeps RELATED strains in one pass where the
+    conservative sum-bound splits them; for disjoint strains both agree."""
+    from strainer2_tpu.pipeline.multi_detect import (
+        plan_strain_passes,
+        plan_strain_passes_from_codes,
+        projected_rows_bytes,
+    )
+
+    rng = np.random.default_rng(3)
+    base = np.unique(rng.integers(0, 1 << 60, size=50_000, dtype=np.uint64))
+    # 4 "variants": each shares ~99% of the base set
+    variants = []
+    for _ in range(4):
+        drop = rng.random(base.size) < 0.01
+        extra = rng.integers(0, 1 << 60, size=500, dtype=np.uint64)
+        variants.append(np.unique(np.concatenate([base[~drop], extra])))
+    union_all = np.unique(np.concatenate(variants))
+    # budget: fits the REAL 4-variant union, not the 4x sum
+    budget = projected_rows_bytes(union_all.size, 4)
+    assert len(plan_strain_passes([v.size for v in variants], budget=budget)) > 1
+    assert plan_strain_passes_from_codes(variants, budget=budget) == [(0, 4)]
+
+    # disjoint strains: both planners split identically
+    disjoint = [
+        np.unique(rng.integers(0, 1 << 60, size=50_000, dtype=np.uint64))
+        for _ in range(4)
+    ]
+    b2 = projected_rows_bytes(2 * 50_000, 2)
+    assert plan_strain_passes_from_codes(disjoint, budget=b2) == plan_strain_passes(
+        [v.size for v in disjoint], budget=b2
+    )
+
+    # callable (lazy-scan) entries work and fetch at most twice
+    calls = {"n": 0}
+
+    def getter(v):
+        def get():
+            calls["n"] += 1
+            return v
+
+        return get
+
+    assert plan_strain_passes_from_codes(
+        [getter(v) for v in disjoint], budget=b2
+    ) == [(0, 2), (2, 4)]
+    assert calls["n"] <= len(disjoint) + 2  # one re-fetch per pass boundary
