@@ -113,6 +113,23 @@ def _exit_unreadable_sample(exc: OSError, f1: str, f2: str | None) -> None:
     raise SystemExit(1)
 
 
+def _evaluated_totals(lens, paired: bool, k: int):
+    """The per-batch summary tallies — a pure function of read LENGTHS
+    (reference src/strain_detect.c:444,497), shared so the gated path
+    (which may skip fetching tot/inf entirely) cannot drift from the
+    aggregation path."""
+    wins = np.maximum(lens - k + 1, 0) * (lens >= k)
+    kmers_evaluated = int(wins.sum())
+    n = lens.shape[0]
+    if paired:
+        pe1 = np.arange(0, n - (n % 2), 2)
+        reads_evaluated = int(np.count_nonzero(lens[pe1] >= k))
+    else:
+        pe1 = np.arange(n)
+        reads_evaluated = int(np.count_nonzero(lens >= k))
+    return kmers_evaluated, reads_evaluated, pe1
+
+
 def _aggregate_classify_chunk(lens, tot, inf, paired: bool, k: int):
     """Pair-split one chunk of per-read (length, total, informative) rows.
 
@@ -120,18 +137,24 @@ def _aggregate_classify_chunk(lens, tot, inf, paired: bool, k: int):
     aggregation (window totals, evaluated-read rule, PE1/PE2 split) cannot
     drift between them.  Returns (kmers_evaluated, reads_evaluated, pe1,
     t1, i1, t2, i2)."""
-    wins = np.maximum(lens - k + 1, 0) * (lens >= k)
-    kmers_evaluated = int(wins.sum())
-    n = lens.shape[0]
+    kmers_evaluated, reads_evaluated, pe1 = _evaluated_totals(lens, paired, k)
     if paired:
-        pe1 = np.arange(0, n - (n % 2), 2)
-        reads_evaluated = int(np.count_nonzero(lens[pe1] >= k))
         return (kmers_evaluated, reads_evaluated, pe1,
                 tot[pe1], inf[pe1], tot[pe1 + 1], inf[pe1 + 1])
-    pe1 = np.arange(n)
-    reads_evaluated = int(np.count_nonzero(lens >= k))
     zero = np.zeros_like(tot)
     return kmers_evaluated, reads_evaluated, pe1, tot, inf, zero, zero
+
+
+def _passing_any_1d(tot, inf, *, paired, min_t, min_i):
+    """Device-side any-pair-passes mask for the single-strain classify
+    (the multi-strain twin lives in pipeline/multi_detect.py): exact host
+    threshold rule (reference src/strain_detect.c:403,406,547); rows past
+    n_reads are zero so padded pairs cannot pass with thresholds >= 1."""
+    if paired:
+        return ((tot[0::2] + tot[1::2]) >= min_t) & (
+            (inf[0::2] + inf[1::2]) >= min_i
+        )
+    return (tot >= min_t) & (inf >= min_i)
 
 
 def _parse_batch_entries(batch_list: str) -> list:
@@ -617,6 +640,25 @@ class StrainDetector:
         )
 
     # ---- stage 4: quantify ----
+    def _passing_any(self, tot_d, inf_d, paired: bool):
+        """Jitted any-pair-passes mask (cached per paired flag)."""
+        import jax
+
+        from functools import partial
+
+        fn = self.__dict__.get("_passing_any_jit")
+        if fn is None:
+            fn = jax.jit(
+                partial(
+                    _passing_any_1d,
+                    min_t=self.cfg.min_hits_for_good_match,
+                    min_i=self.cfg.min_hits_for_informative_read,
+                ),
+                static_argnames=("paired",),
+            )
+            self._passing_any_jit = fn
+        return fn(tot_d, inf_d, paired=paired)
+
     def _finalize_meta(self):
         self._type_sorted = self.kmer_type[self._sorted_order]
         import jax.numpy as jnp
@@ -1003,11 +1045,24 @@ class StrainDetector:
                     self._classify_table, self._meta_dev, t.h_bits, t.salt,
                     batch.bases, boundaries
                 )
-                tot = np.asarray(tot_d)[:n]
-                inf = np.asarray(inf_d)[:n]
+                # D2H gate (single-strain twin of the multi-strain gate in
+                # pipeline/multi_detect.py): read back a (pairs,) bool; the
+                # per-read vectors cross D2H only when a pair passes —
+                # byte-identical, the skipped emission was a no-op
+                any_d = self._passing_any(tot_d, inf_d, paired)
+                n_pairs = (n - (n % 2)) // 2 if paired else n
+                tot = inf = None
+                if bool(np.asarray(any_d)[:n_pairs].any()):
+                    tot = np.asarray(tot_d)[:n]
+                    inf = np.asarray(inf_d)[:n]
             lens = batch.read_lengths
             if n % 2 and paired and ftype == IS_PAIRED_END_INTERLEAVE:
                 odd_interleave = True
+            if tot is None:  # device-checked: no pair passes in this batch
+                ke, re_, _ = _evaluated_totals(lens, paired, k)
+                total_kmers_evaluated += ke
+                total_reads_evaluated += re_
+                continue
             ke, re_, pe1, t1, i1, t2, i2 = _aggregate_classify_chunk(
                 lens, tot, inf, paired, k
             )
