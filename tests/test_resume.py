@@ -478,3 +478,72 @@ def test_pipeline_multi_detect_checkpoint_keyed_to_filter_config(tmp_path):
     assert got == want
     dirs_after = {d for d in os.listdir(ck) if d.startswith("detect_")}
     assert dirs_after - dirs_before, "different filter config must re-key"
+
+
+def test_pipeline_fused_single_resume_scrub_and_detect(tmp_path, monkeypatch):
+    """The single-strain fused pipeline with --checkpoint: crash during
+    panel counting, resume; then a second crash during detection, resume
+    again — final artifacts byte-identical to an uninterrupted run."""
+    from strainer2_tpu.pipeline import progress as prog
+    from strainer2_tpu.pipeline.detect import StrainDetector
+    from strainer2_tpu.pipeline.fused import FusedConfig, run_pipeline
+
+    monkeypatch.setenv("STRAINER2_DETECT_THREADS", "1")
+
+    def run(out_dir, ck=None):
+        return run_pipeline(
+            "data/strainA.fna.gz", "data/genomes.txt", "data/metagenomes.txt",
+            "data/targets.txt", str(out_dir),
+            fused_cfg=FusedConfig(min_fraction=0.05),
+            err=io.StringIO(), stdout=io.StringIO(), checkpoint_dir=ck,
+        )
+
+    ref = run(tmp_path / "ref")
+    want = [_read_gz(ref["counts"]), _read_gz(ref["scrubbed"]),
+            _read_gz(ref["hits"])]
+
+    class Boom(Exception):
+        pass
+
+    ck = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+    orig_record = prog.ScrubCheckpoint.record
+
+    def crashing(self, column, path, counts):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Boom()
+        return orig_record(self, column, path, counts)
+
+    monkeypatch.setattr(prog.ScrubCheckpoint, "record", crashing)
+    with pytest.raises(Boom):
+        run(tmp_path / "crash1", ck=ck)
+    monkeypatch.setattr(prog.ScrubCheckpoint, "record", orig_record)
+    assert os.path.exists(os.path.join(ck, "scrub"))
+
+    # second crash: during detection of the 2nd sample
+    dcalls = {"n": 0}
+    orig_nat = StrainDetector._quantify_sample_native
+    orig_jit = StrainDetector._quantify_sample
+
+    def crash_detect(fn):
+        def wrapper(self, *a, **kw):
+            dcalls["n"] += 1
+            if dcalls["n"] == 2:
+                raise Boom()
+            return fn(self, *a, **kw)
+
+        return wrapper
+
+    monkeypatch.setattr(
+        StrainDetector, "_quantify_sample_native", crash_detect(orig_nat)
+    )
+    monkeypatch.setattr(StrainDetector, "_quantify_sample", crash_detect(orig_jit))
+    with pytest.raises(Boom):
+        run(tmp_path / "crash2", ck=ck)
+    monkeypatch.setattr(StrainDetector, "_quantify_sample_native", orig_nat)
+    monkeypatch.setattr(StrainDetector, "_quantify_sample", orig_jit)
+
+    got = run(tmp_path / "resumed", ck=ck)
+    assert [_read_gz(got["counts"]), _read_gz(got["scrubbed"]),
+            _read_gz(got["hits"])] == want
