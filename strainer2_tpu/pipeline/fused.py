@@ -460,9 +460,9 @@ def run_multi_pipeline(
         for a in prep_args:
             _consume(lambda a=a: _prep_strain(a))
 
-    # passes sized by strain count AND projected union row-table bytes
-    # against the device budget (multi_detect.plan_strain_passes; exact
-    # per-strain index sizes are known here)
+    # passes sized by strain count AND the EXACT projected union
+    # row-table bytes against the device budget (the indexes are in
+    # memory, so the real unions are known)
     from strainer2_tpu.pipeline.multi_detect import plan_strain_passes_from_codes
 
     def _detect_ckpt_dir(start: int, chunk) -> str | None:

@@ -118,13 +118,14 @@ def plan_strain_passes(kmer_counts, *, max_strains=MAX_STRAINS_PER_PASS,
     """Split strains into contiguous passes bounded by BOTH the strain
     count cap and the projected union row-table bytes.
 
-    kmer_counts: per-strain distinct-k-mer counts (or upper bounds — the
-    fused pipeline passes exact index sizes, the detect-multi CLI passes
-    uncompressed genome bytes via estimate_genome_kmers).  The union of a
-    pass is bounded above by the sum of its strains' counts, so sizing by
-    the sum is conservative: related strains (the common case) share most
-    k-mers and come in well under budget; disjoint strains hit the bound
-    exactly.
+    kmer_counts: per-strain distinct-k-mer counts or upper bounds (e.g.
+    estimate_genome_kmers).  The union of a pass is bounded above by the
+    sum of its strains' counts, so sizing by the sum is conservative:
+    related strains share most k-mers and come in well under budget;
+    disjoint strains hit the bound exactly.  The production callers (the
+    fused pipeline and the detect-multi CLI) size passes on the EXACT
+    union instead — plan_strain_passes_from_codes below; this sum-bound
+    form remains for callers that only have counts.
 
     budget: per-device bytes (default device_mem_budget()); None disables
     the byte bound.  index_shards: table shards on an index-sharded mesh —

@@ -378,3 +378,27 @@ def test_leading_garbage_skipped_to_first_marker(tmp_path, monkeypatch):
     nomarker.write_bytes(b"no markers here\nat all\n")
     assert scan_file_codes(str(nomarker), KmerEngine(31)).size == 0
     assert _python_reader_codes(monkeypatch, str(nomarker)).size == 0
+
+
+def test_mixed_fasta_fastq_single_file(tmp_path, monkeypatch):
+    """kseq parses format PER RECORD, so FASTA and FASTQ records can mix
+    in one file (probed byte-identical through the reference binary:
+    3 reads, all windows evaluated).  Both readers must agree."""
+    from strainer2_tpu.index.build import scan_file_codes
+    from strainer2_tpu.pipeline.engine import KmerEngine
+    from tests.oracle import canonical_codes_of_seq
+
+    r1 = "ACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+    r2 = "TTGCACGTACGTACGTACGTACGTACGTACGTACGA"
+    r3 = "GGGTACGTACGTACGTACGTACGTACGTACGTACCC"
+    f = tmp_path / "mixed.fa"
+    f.write_text(
+        f">r1\n{r1}\n@r2\n{r2}\n+\n" + "I" * len(r2) + f"\n>r3\n{r3}\n"
+    )
+    want = np.array(
+        sum(([c for v, c in canonical_codes_of_seq(r, 31) if v]
+             for r in (r1, r2, r3)), []),
+        dtype=np.uint64,
+    )
+    np.testing.assert_array_equal(scan_file_codes(str(f), KmerEngine(31)), want)
+    np.testing.assert_array_equal(_python_reader_codes(monkeypatch, str(f)), want)
