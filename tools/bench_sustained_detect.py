@@ -225,17 +225,36 @@ def main() -> None:
     # timed window, which is exactly the bug this tool's first version had
     steps = {s: make_step(s, tables[s][0]) for s in widths}
 
-    def classify_pass(s):
+    def classify_pass(s, put_ahead=False):
+        """put_ahead: issue the NEXT batch's device_put transfers before
+        dispatching the current step, so H2D overlaps device compute
+        (one-deep software pipeline)."""
         _, rows_dev = tables[s]
         step = steps[s]
         acc = jnp.zeros((), dtype=jnp.uint32)
         valid = jnp.zeros((), dtype=jnp.uint32)
         t0 = time.time()
-        for batch in prefetch(stream()):
-            bdev = fixed_b if fixed_b is not None else jnp.asarray(
-                boundaries_of(batch))
-            acc, valid = step(acc, valid, rows_dev, jnp.asarray(batch.bases),
-                              bdev)
+        if not put_ahead:
+            for batch in prefetch(stream()):
+                bdev = fixed_b if fixed_b is not None else jnp.asarray(
+                    boundaries_of(batch))
+                acc, valid = step(acc, valid, rows_dev,
+                                  jnp.asarray(batch.bases), bdev)
+        else:
+            import jax
+
+            pending = None
+            for batch in prefetch(stream()):
+                nxt = (
+                    jax.device_put(batch.bases),
+                    fixed_b if fixed_b is not None
+                    else jax.device_put(boundaries_of(batch)),
+                )
+                if pending is not None:
+                    acc, valid = step(acc, valid, rows_dev, *pending)
+                pending = nxt
+            if pending is not None:
+                acc, valid = step(acc, valid, rows_dev, *pending)
         acc.block_until_ready()
         dt = time.time() - t0
         # single end-of-run readback, outside the timed window
@@ -259,10 +278,13 @@ def main() -> None:
     print(f"# pack-only: {d_pack:.2f}s ({n_batches} batches)", file=sys.stderr)
     print(f"# feed (pack+H2D+trivial): {d_feed:.2f}s", file=sys.stderr)
 
+    import os as _os
+
+    put_ahead = _os.environ.get("S2_BENCH_PUT_AHEAD", "0") == "1"
     results = {}
     for s in widths:
-        d1, nv1, a1 = classify_pass(s)
-        d2, nv2, a2 = classify_pass(s)
+        d1, nv1, a1 = classify_pass(s, put_ahead)
+        d2, nv2, a2 = classify_pass(s, put_ahead)
         assert (nv1, a1) == (nv2, a2), f"non-deterministic at S={s}!"
         best = min(d1, d2)
         rate = nv1 / best
