@@ -818,8 +818,18 @@ class MultiStrainDetector:
         from strainer2_tpu.native import Pe2EndedEarlyError
         from strainer2_tpu.pipeline.detect import _exit_unreadable_sample
 
+        from strainer2_tpu.utils.prefetch import prefetch
+
         stream_builder = StrainDetector._batch_stream
-        stream = iter(stream_builder(self, f1, f2, ftype))
+        # prefetch: the next batch decodes+packs on a background thread
+        # while the device classifies the current one (the single-strain
+        # path has done this since round 2; the multi path's host pack is
+        # the same measured binding stage — docs/PERFORMANCE.md "Sustained
+        # DEVICE-FED detection")
+        try:
+            stream = iter(prefetch(stream_builder(self, f1, f2, ftype)))
+        except OSError as e:
+            _exit_unreadable_sample(e, f1, f2)
         while True:
             try:
                 batch = next(stream)
