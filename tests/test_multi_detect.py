@@ -620,3 +620,39 @@ def test_plan_from_codes_exact_union_beats_sum_bound():
         [getter(v) for v in disjoint], budget=b2
     ) == [(0, 2), (2, 4)]
     assert calls["n"] <= len(disjoint) + 2  # one re-fetch per pass boundary
+
+
+def test_mesh_plus_multiprocess_refusals_are_clean(tmp_path, monkeypatch, capsys):
+    """--mesh + multi-process partitioning must refuse with an explanatory
+    error (divergent per-rank program counts would deadlock collectives),
+    not hang: pinned for both the multi-strain detector and the scrub
+    pipeline (pipeline/multi_detect.py, pipeline/scrub_count.py)."""
+    import io
+
+    import jax
+
+    from strainer2_tpu.pipeline.detect import DetectConfig
+    from strainer2_tpu.pipeline.multi_detect import MultiStrainDetector
+
+    det = MultiStrainDetector(
+        [("data/strainA.fna.gz", "expected/scrubbed_m05.txt")],
+        DetectConfig(mesh=(2, 4)), stdout=io.StringIO(),
+    )
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    with pytest.raises(SystemExit) as e:
+        det.quantify_all([str(tmp_path / "h.gz")], "data/targets.txt")
+    assert e.value.code == 1
+    assert "cannot combine" in capsys.readouterr().err
+
+    from strainer2_tpu.parallel import distributed
+    from strainer2_tpu.pipeline.scrub_count import ScrubCountConfig, run_scrub_count
+
+    monkeypatch.setattr(distributed, "initialize", lambda *a, **kw: (0, 2))
+    with pytest.raises(SystemExit) as e:
+        run_scrub_count(
+            "data/strainA.fna.gz", "data/genomes.txt", "data/metagenomes.txt",
+            out=io.StringIO(), cfg=ScrubCountConfig(mesh=(1, 8)),
+        )
+    assert e.value.code == 1
+    assert "cannot combine" in capsys.readouterr().err
