@@ -78,9 +78,23 @@ class StrainIndex:
     k: int
     codes: np.ndarray  # (N,) uint64, first-encounter order
     genome_counts: np.ndarray  # (N,) uint32
-    table: CuckooTable
+    # membership table, built LAZILY on first .table access: the
+    # multi-strain pipelines consume only codes/genome_counts per strain
+    # (lookups go through the UNION table), so S strains no longer pay
+    # S table builds (~0.3-0.5 s and hundreds of MB each) they never use
+    table_: object = field(default=None, repr=False)
+    layout_: "str | None" = field(default=None, repr=False)
 
     _device_table: object = field(default=None, repr=False)
+
+    @property
+    def table(self):
+        if self.table_ is None:
+            if self.layout == "bucket":
+                self.table_ = build_bucket_table(self.codes, self.k)
+            else:
+                self.table_ = build_cuckoo(self.codes, self.k)
+        return self.table_
 
     @classmethod
     def from_scan_codes(cls, scan_codes: np.ndarray, k: int = DEFAULT_K,
@@ -109,11 +123,7 @@ class StrainIndex:
             order = np.argsort(first_idx, kind="stable")
             codes = uniq[order]
             genome_counts = counts[order].astype(np.uint32)
-        if layout == "bucket":
-            table = build_bucket_table(codes, k)
-        else:
-            table = build_cuckoo(codes, k)
-        return cls(k=k, codes=codes, genome_counts=genome_counts, table=table)
+        return cls(k=k, codes=codes, genome_counts=genome_counts, layout_=layout)
 
     @classmethod
     def from_unique_codes(cls, codes: np.ndarray, k: int = DEFAULT_K,
@@ -127,13 +137,9 @@ class StrainIndex:
         codes = np.asarray(codes, dtype=np.uint64)
         if codes.size == 0:
             raise ValueError("no valid k-mers found in genome")
-        if layout == "bucket":
-            table = build_bucket_table(codes, k)
-        else:
-            table = build_cuckoo(codes, k)
         return cls(k=k, codes=codes,
                    genome_counts=np.ones(codes.shape[0], dtype=np.uint32),
-                   table=table)
+                   layout_=layout)
 
     @classmethod
     def from_fasta(cls, path: str, engine, rows: int = DEFAULT_ROWS,
@@ -145,7 +151,13 @@ class StrainIndex:
 
     @property
     def layout(self) -> str:
-        return getattr(self.table, "layout", "cuckoo")
+        if self.table_ is not None:
+            return getattr(self.table_, "layout", "cuckoo")
+        if self.layout_ is None:
+            from strainer2_tpu.pipeline.engine import default_layout
+
+            self.layout_ = default_layout()
+        return self.layout_
 
     # ---- derived views ----
     @property
@@ -226,5 +238,5 @@ class StrainIndex:
             k=int(z["k"]),
             codes=z["codes"],
             genome_counts=z["genome_counts"],
-            table=table,
+            table_=table,
         )

@@ -100,3 +100,20 @@ def test_fused_multi_pipeline_matches_staged_per_strain(tmp_path):
         run_coverage_depth(paths["hits"], out=cov)
         with open(paths["coverage"], "rb") as f:
             assert f.read() == cov.bytes()
+
+
+def test_multi_paths_never_build_per_strain_tables():
+    """Per-strain membership tables are LAZY (index/build.py) and the
+    multi-strain pipelines only need codes/counts per strain (lookups go
+    through the union table): after a full multi-scrub the per-strain
+    indexes must still be table-less — S strains must not pay S builds."""
+    from strainer2_tpu.pipeline.multi_scrub import multi_scrub_counts
+    from strainer2_tpu.pipeline.scrub_count import ScrubCountConfig
+
+    strain_indexes, columns = multi_scrub_counts(
+        ["data/strainA.fna.gz", "data/drug1.fna.gz"],
+        "data/genomes.txt", "data/metagenomes.txt", None, ScrubCountConfig(),
+    )
+    assert len(columns) == 2
+    for ix in strain_indexes:
+        assert ix.table_ is None, "per-strain table was built needlessly"
