@@ -432,6 +432,8 @@ def run_scrub_count(
         with stage("scrub.index_build"):
             try:
                 index = StrainIndex.from_fasta(r_file, engine, cfg.rows, cfg.row_len)
+                index.table  # lazy (round 5); single-strain scrub always
+                # needs it — materialize inside the stage timer
             except OSError:
                 # reference src/genome_compare.c:986 (no "in", as printed)
                 _exit_could_not_read(
