@@ -146,10 +146,16 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "detect-multi":
         import os
 
+        import numpy as np
+
+        from strainer2_tpu.index.build import StrainIndex, scan_file_codes
+        from strainer2_tpu.pipeline.engine import KmerEngine
         from strainer2_tpu.pipeline.fused import _stem
         from strainer2_tpu.pipeline.multi_detect import (
+            MAX_STRAINS_PER_PASS,
             MultiStrainDetector,
-            plan_strain_passes_from_codes,
+            device_mem_budget,
+            projected_rows_bytes,
         )
 
         strains = []
@@ -168,26 +174,45 @@ def main(argv: list[str] | None = None) -> int:
             cfg = DetectConfig(mesh=(int(d), int(i)))
             n_index = int(i)
         # passes sized by strain count AND the EXACT union row-table
-        # bytes: each genome is scanned once for its canonical codes
-        # (seconds per genome — noise against the full target scan every
-        # avoided pass saves; related strains share most k-mers, so the
-        # old sum-of-sizes bound split work that fits one pass)
-        from strainer2_tpu.index.build import scan_file_codes
-        from strainer2_tpu.pipeline.engine import KmerEngine
-
+        # bytes (same greedy cut as multi_detect.plan_strain_passes_from_
+        # codes): each genome is scanned ONCE, and the scanned index —
+        # table-less until a lookup needs it — is retained and handed to
+        # the detector, so planning costs no second read of any genome.
+        # Related strains share most k-mers, so the old sum-of-sizes
+        # bound split work that fits one pass and re-streamed the targets.
         eng = KmerEngine(31)
-        passes = plan_strain_passes_from_codes(
-            [lambda r=r: scan_file_codes(r, eng) for r, _ in strains],
-            index_shards=n_index,
-        )
-        for start, end in passes:
-            chunk = strains[start:end]
+        budget = device_mem_budget()
+        if budget is not None:
+            budget = int(budget) * max(1, n_index)
+
+        def run_pass(chunk, idxs):
             det = MultiStrainDetector(chunk, cfg=cfg,
-                                      background_list=args.background_list)
-            outs = []
-            for r, _ in chunk:
-                outs.append(os.path.join(args.out_dir, _stem(r) + ".kmer_hits.gz"))
+                                      background_list=args.background_list,
+                                      indexes=idxs)
+            outs = [
+                os.path.join(args.out_dir, _stem(r) + ".kmer_hits.gz")
+                for r, _ in chunk
+            ]
             det.quantify_all(outs, args.batch_list)
+
+        chunk, idxs, union = [], [], None
+        for r, a in strains:
+            ix = StrainIndex.from_scan_codes(scan_file_codes(r, eng), k=31)
+            cand = (np.unique(ix.codes) if union is None
+                    else np.union1d(union, ix.codes))
+            if chunk and (
+                len(chunk) >= MAX_STRAINS_PER_PASS
+                or (budget is not None and projected_rows_bytes(
+                    cand.shape[0], len(chunk) + 1) > budget)
+            ):
+                run_pass(chunk, idxs)
+                chunk, idxs = [], []
+                cand = np.unique(ix.codes)
+            chunk.append((r, a))
+            idxs.append(ix)
+            union = cand
+        if chunk:
+            run_pass(chunk, idxs)
     elif args.cmd == "scrub-multi":
         import os
 

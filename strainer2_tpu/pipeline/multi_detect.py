@@ -295,11 +295,16 @@ class MultiStrainDetector:
 
     def __init__(self, strains: list[tuple[str, str]], cfg: DetectConfig | None = None,
                  stdout: IO | None = None, background_list: str | None = None,
-                 prebuilt: "list[tuple[str, object, np.ndarray]] | None" = None):
+                 prebuilt: "list[tuple[str, object, np.ndarray]] | None" = None,
+                 indexes: "list | None" = None):
         """strains: (genome, scrubbed-kmer-file) pairs.  The fused
         multi-strain pipeline instead passes ``prebuilt`` — (genome,
         StrainIndex, informative key indices) triples — skipping the
-        genome re-scans and the scrubbed-file round trips."""
+        genome re-scans and the scrubbed-file round trips.  ``indexes``
+        (exclusive with prebuilt) supplies per-strain StrainIndex objects
+        while keeping the scrubbed-file (-a) marking: the detect-multi
+        CLI retains the indexes its exact pass planner already scanned,
+        so each genome is read once, not twice."""
         if prebuilt is not None:
             strains = [(r, None) for r, _, _ in prebuilt]
         if not 1 <= len(strains) <= MAX_STRAINS_PER_PASS:
@@ -325,7 +330,11 @@ class MultiStrainDetector:
             try:
                 det = StrainDetector(
                     r_file, a_file, self.cfg, stdout=buf,
-                    index=prebuilt[s][1] if prebuilt is not None else None,
+                    index=(
+                        prebuilt[s][1] if prebuilt is not None
+                        else indexes[s] if indexes is not None
+                        else None
+                    ),
                     informative_keys=(
                         prebuilt[s][2] if prebuilt is not None else None
                     ),
