@@ -146,17 +146,30 @@ def multi_scrub_counts(
         )
 
     def count_list(paths: list[str], column: int):
-        from strainer2_tpu.pipeline.scrub_count import (
-            _use_native_counting,
-            count_files_native_pooled,
-        )
-
         if pcount > 1:
             from strainer2_tpu.parallel.distributed import host_file_partition
 
             paths = host_file_partition(paths, pidx, pcount)
         for path in paths:
             _progress_line(progress, path)
+        try:
+            return _count_paths(paths, column)
+        except OSError as e:
+            # reference-exact unreadable-panel diagnostic + exit 1, as the
+            # single-strain loop prints (reference src/genome_compare.c:196)
+            from strainer2_tpu.pipeline.scrub_count import _exit_could_not_read
+
+            _exit_could_not_read(
+                f"could not read file {getattr(e, 'filename', None) or e} "
+                "in GEN_calculate_kmer_count()"
+            )
+
+    def _count_paths(paths: list[str], column: int):
+        from strainer2_tpu.pipeline.scrub_count import (
+            _use_native_counting,
+            count_files_native_pooled,
+        )
+
         use_native = _use_native_counting(engine)
         if ckpt is not None:
             # sequential with a per-file-complete snapshot after each file

@@ -117,3 +117,25 @@ def test_multi_paths_never_build_per_strain_tables():
     assert len(columns) == 2
     for ix in strain_indexes:
         assert ix.table_ is None, "per-strain table was built needlessly"
+
+
+def test_multi_scrub_unreadable_panel_matches_reference_diagnostic(tmp_path, capsys):
+    """An unreadable panel file in the shared union scan exits 1 with the
+    reference's exact stderr line (reference src/genome_compare.c:196),
+    like the single-strain loop — not a raw traceback."""
+    import pytest as _pytest
+
+    from strainer2_tpu.pipeline.multi_scrub import run_multi_scrub
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("/nonexistent_panel.fa.gz\n")
+    with _pytest.raises(SystemExit) as e:
+        run_multi_scrub(
+            ["data/strainA.fna.gz"], str(bad), "data/metagenomes.txt", None,
+            [io.StringIO()],
+        )
+    assert e.value.code == 1
+    assert capsys.readouterr().err.endswith(
+        "could not read file /nonexistent_panel.fa.gz "
+        "in GEN_calculate_kmer_count()\n"
+    )
